@@ -1,0 +1,347 @@
+"""Compiled autoregressive decode for SSR-Speech on TPU.
+
+This replaces the reference's host-driven decode (``models/ssr.py:646-771``:
+a python ``while True`` crossing host<->device every token) with a single
+``lax.while_loop`` that runs entirely on device:
+
+  - preallocated KV cache (``transformer.KVCache``) instead of growing
+    ``torch.cat`` (``models/ssr.py:686``);
+  - classifier-free guidance as a batch of [cond, uncond] rows with the
+    stride predicate evaluated in-loop (``models/ssr.py:691-696``,
+    README "fast CFG");
+  - the full constrained-sampling state machine as vectorized masks:
+    eos/sos/mts ban, first-K empty forcing, staggered EOG cascade across
+    codebooks, silence-repetition penalty (``models/ssr.py:698-748``);
+  - multi-span editing in ONE compiled program: when a span finishes, the
+    loop feeds the next span's mask sentinel and keeps decoding with the same
+    cache (the reference loops spans on host, ``models/ssr.py:646``).
+
+Host-side pre/post (tiny int arrays): building the interleaved prefix
+(``ops.patterns.build_inference_prefix``) and reverting the delay pattern /
+splicing spans (``ops.patterns``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DecodeConfig, SSRModelConfig
+from ..models import ssr as ssr_model
+from ..models import transformer as trf
+from ..ops import patterns
+from ..ops.sampling import top_k_top_p_filter
+
+NEG = -10000.0
+POS = 10000.0
+
+
+class GenState(NamedTuple):
+    cache: trf.KVCache
+    key: jax.Array
+    y_pos: jnp.ndarray  # int32: audio position of the token being fed
+    next_tokens: jnp.ndarray  # [K] int32 token to feed this step
+    out: jnp.ndarray  # [K, CAP] sampled tokens, spans concatenated
+    out_len: jnp.ndarray  # int32
+    span_idx: jnp.ndarray  # int32
+    span_end: jnp.ndarray  # [MAX_SPANS] int32 out_len after each span
+    num_gen: jnp.ndarray
+    num_eog: jnp.ndarray
+    prev_token: jnp.ndarray
+    consec_silence: jnp.ndarray
+    num_cfg: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _embed_step_tokens(params, cfg: SSRModelConfig, tokens: jnp.ndarray,
+                       pe: jnp.ndarray, y_pos, batch: int, dtype):
+    """[K] token ids -> [B, D] summed codebook embedding + audio pos emb."""
+    embs = params["audio_emb"]
+    h = jnp.zeros((cfg.d_model,), jnp.float32)
+    for k in range(cfg.n_codebooks):
+        h = h + embs[k][tokens[k]]
+    h = h + params["audio_pos_alpha"][0] * jax.lax.dynamic_slice_in_dim(pe, y_pos, 1, 0)[0]
+    return jnp.broadcast_to(h, (batch, cfg.d_model)).astype(dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dec", "num_task", "x_len", "cap_total", "aug_text", "dtype_name"),
+)
+def _generate_impl(
+    params,
+    cache: trf.KVCache,
+    key_banned: jnp.ndarray,
+    rng: jax.Array,
+    sentinel_ids: jnp.ndarray,  # [MAX_SPANS] int32
+    *,
+    cfg: SSRModelConfig,
+    dec: DecodeConfig,
+    num_task: int,
+    x_len: int,
+    cap_total: int,
+    aug_text: bool,
+    dtype_name: str = "bfloat16",
+):
+    dtype = jnp.dtype(dtype_name)
+    K = cfg.n_codebooks
+    ts = cfg.tokens
+    card = ts.cardinality
+    batch = cache.k.shape[1]
+    pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
+    rows = jnp.arange(K)[:, None]  # [K,1] codebook index
+    cols = jnp.arange(card)[None, :]
+    silence = jnp.asarray(dec.silence_tokens, jnp.int32)
+    length_cap = x_len * dec.length_cap_mult
+
+    # static ban: eos, sos, all mask sentinels (models/ssr.py:699-703)
+    static_ban = (cols == ts.eos) | (cols == ts.sos) | (
+        (cols >= ts.mts) & (cols < ts.mts + ts.max_n_spans)
+    )
+
+    def cond(s: GenState):
+        return (~s.done) & (s.out_len < cap_total)
+
+    def body(s: GenState):
+        key, k_samp = jax.random.split(s.key)
+        h = _embed_step_tokens(params, cfg, s.next_tokens, pe, s.y_pos, batch, dtype)
+        out_h, cache = trf.transformer_decode_step(
+            params["decoder"], h, s.cache, key_banned, cfg, dtype=dtype
+        )
+        logits = ssr_model.predict_logits(params, out_h)  # [B, K, card] f32
+
+        if aug_text:
+            do_mix = s.num_cfg == dec.cfg_stride
+            mixed = dec.cfg_coef * logits[0] + (1.0 - dec.cfg_coef) * logits[1]
+            lg = jnp.where(do_mix, mixed, logits[0])
+            num_cfg = jnp.where(do_mix, 1, s.num_cfg + 1)
+        else:
+            lg = logits[0]
+            num_cfg = s.num_cfg
+
+        # --- logit surgery (models/ssr.py:699-730) ---
+        lg = jnp.where(static_ban, NEG, lg)
+        # force empty for codebooks not yet started in the delay pattern
+        force_empty = (rows > s.num_gen) & (cols == ts.empty)
+        lg = jnp.where(force_empty, POS, lg)
+        in_cascade = s.num_eog > 0
+        # cascade active: rows above the cascade row must not emit eog/empty
+        casc_ban = in_cascade & (rows > s.num_eog) & ((cols == ts.eog) | (cols == ts.empty))
+        # cascade inactive: codebooks 1..K-1 must not emit eog
+        noeog_ban = (~in_cascade) & (rows >= 1) & (cols == ts.eog)
+        lg = jnp.where(casc_ban | noeog_ban, NEG, lg)
+        # silence-repetition penalty on codebook 0 (models/ssr.py:726-730)
+        if dec.stop_repetition > 0:
+            is_silence_prev = jnp.any(silence == s.prev_token)
+            apply_pen = (~in_cascade) & is_silence_prev & (
+                s.consec_silence > dec.stop_repetition
+            )
+            factor = (s.consec_silence - (dec.stop_repetition - 1)).astype(jnp.float32)
+            prev_logit = lg[0, s.prev_token]
+            pen = jnp.where(prev_logit < 0, prev_logit * factor, prev_logit / factor)
+            lg = lg.at[0, s.prev_token].set(jnp.where(apply_pen, pen, prev_logit))
+
+        # --- sample (models/ssr.py:713,732) ---
+        lgt = lg / dec.temperature if dec.temperature != 1.0 else lg
+        lgt = top_k_top_p_filter(lgt, top_k=dec.top_k, top_p=dec.top_p)
+        samples = jax.random.categorical(k_samp, lgt, axis=-1).astype(jnp.int32)  # [K]
+
+        # --- EOG bookkeeping ---
+        row_ids = jnp.arange(K)
+        # cascade-active overrides (models/ssr.py:716-719)
+        casc_samples = jnp.where(row_ids < s.num_eog, ts.empty, samples)
+        casc_samples = jnp.where(row_ids == s.num_eog, ts.eog, casc_samples)
+        # cascade-inactive trigger (models/ssr.py:738-742)
+        too_long = (s.y_pos + 1) > length_cap
+        trigger = (samples[0] == ts.eog) | (jnp.argmax(lg[0]) == ts.eog) | too_long
+        plain_samples = samples.at[0].set(jnp.where(trigger, ts.eog, samples[0]))
+
+        new_samples = jnp.where(in_cascade, casc_samples, plain_samples)
+        num_eog = jnp.where(
+            in_cascade, s.num_eog + 1, jnp.where(trigger, 1, 0)
+        )
+        # silence counters only updated outside the cascade (models/ssr.py:744-748)
+        s0 = plain_samples[0]
+        is_sil = jnp.any(silence == s0) & (s0 == s.prev_token)
+        consec = jnp.where(
+            in_cascade, s.consec_silence, jnp.where(is_sil, s.consec_silence + 1, 0)
+        )
+        prev = jnp.where(in_cascade, s.prev_token, s0)
+
+        out = jax.lax.dynamic_update_slice(s.out, new_samples[:, None], (0, s.out_len))
+        out_len = s.out_len + 1
+        num_gen = s.num_gen + 1
+
+        # --- span transition ---
+        span_done = num_eog == K
+        span_end = jnp.where(
+            span_done,
+            s.span_end.at[s.span_idx].set(out_len),
+            s.span_end,
+        )
+        span_idx = jnp.where(span_done, s.span_idx + 1, s.span_idx)
+        all_done = span_done & (span_idx >= num_task)
+        next_sentinel = jnp.full(
+            (K,), 0, jnp.int32
+        ) + sentinel_ids[jnp.minimum(span_idx, num_task - 1)]
+        next_tokens = jnp.where(span_done, next_sentinel, new_samples)
+        num_gen = jnp.where(span_done, 0, num_gen)
+        num_eog = jnp.where(span_done, 0, num_eog)
+        prev = jnp.where(span_done, -1, prev)
+        consec = jnp.where(span_done, 0, consec)
+        num_cfg = jnp.where(span_done, 1, num_cfg)
+
+        return GenState(
+            cache=cache, key=key, y_pos=s.y_pos + 1, next_tokens=next_tokens,
+            out=out, out_len=out_len, span_idx=span_idx, span_end=span_end,
+            num_gen=num_gen, num_eog=num_eog, prev_token=prev,
+            consec_silence=consec, num_cfg=num_cfg, done=all_done,
+        )
+
+    init = GenState(
+        cache=cache,
+        key=rng,
+        # audio position of the first fed token = prefix length
+        # (the cache currently holds x_len + prefix_len positions)
+        y_pos=cache.length - x_len,
+        next_tokens=jnp.full((K,), 0, jnp.int32) + sentinel_ids[0],
+        out=jnp.full((K, cap_total), cfg.tokens.empty, jnp.int32),
+        out_len=jnp.asarray(0, jnp.int32),
+        span_idx=jnp.asarray(0, jnp.int32),
+        span_end=jnp.zeros((num_task,), jnp.int32),
+        num_gen=jnp.asarray(0, jnp.int32),
+        num_eog=jnp.asarray(0, jnp.int32),
+        prev_token=jnp.asarray(-1, jnp.int32),
+        consec_silence=jnp.asarray(0, jnp.int32),
+        num_cfg=jnp.asarray(1, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final.out, final.span_end, final.out_len
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tmax", "dtype_name", "cfg_pretrained", "aug_text")
+)
+def _prefill_impl(
+    params,
+    x: jnp.ndarray,  # [B, Sx] exact-length text ids (rows: cond[, uncond])
+    y_prefix: jnp.ndarray,  # [K, P]
+    *,
+    cfg: SSRModelConfig,
+    tmax: int,
+    dtype_name: str = "bfloat16",
+    cfg_pretrained: bool = False,
+    aug_text: bool = False,
+):
+    dtype = jnp.dtype(dtype_name)
+    B, sx = x.shape
+    P = y_prefix.shape[1]
+    pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
+
+    x_h = ssr_model.embed_text(params, cfg, x, pe)
+    y_tok = y_prefix.T[None]  # [1, P, K]
+    y_h = ssr_model.embed_audio_tokens(params, cfg, jnp.broadcast_to(y_tok, (B, P, cfg.n_codebooks)))
+    y_h = ssr_model.apply_audio_pos(params, y_h, pe, 0)
+    h = jnp.concatenate([x_h, y_h], axis=1).astype(dtype)
+
+    s = sx + P
+    idx = jnp.arange(s)
+    is_y_col = idx >= sx
+    tri = idx[None, :] > idx[:, None]
+    banned = jnp.logical_or(tri, (~is_y_col)[:, None] & is_y_col[None, :])
+    banned = jnp.broadcast_to(banned, (B, s, s))
+    # key ban for CFG-pretrained uncond row: only its first text token visible
+    # (reference models/ssr.py:632-634)
+    key_banned = jnp.zeros((B, tmax), bool)
+    if aug_text and cfg_pretrained:
+        uncond_ban_keys = (idx >= 1) & (idx < sx)
+        banned = banned.at[1].set(banned[1] | uncond_ban_keys[None, :])
+        key_banned = key_banned.at[1, 1:sx].set(True)
+    bias = jnp.where(banned, -1e9, 0.0)[:, None, :, :].astype(jnp.float32)
+
+    cache = trf.init_kv_cache(cfg, B, tmax, dtype=dtype)
+    _, cache = trf.transformer_prefill(params["decoder"], h, bias, cache, cfg, dtype=dtype)
+    return cache, key_banned
+
+
+def generate(
+    params,
+    cfg: SSRModelConfig,
+    dec: DecodeConfig,
+    x: np.ndarray,  # [Sx] int phoneme ids (conditional row)
+    y: np.ndarray,  # [K, T] codec tokens of the source audio
+    mask_intervals: Sequence[Tuple[int, int]],
+    rng: jax.Array,
+    *,
+    uncond_x: Optional[np.ndarray] = None,
+    tmax: Optional[int] = None,
+    dtype_name: str = "bfloat16",
+) -> Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]], List[Tuple[int, int]]]:
+    """End-to-end span-infilling generation for one sample.
+
+    Returns (codes [1, K, T'], marks [1, T'], out_intervals, nm_intervals)
+    mirroring the reference ``SSR_Speech.inference`` outputs
+    (``models/ssr.py:786-812``).
+    """
+    ts = cfg.tokens
+    K = cfg.n_codebooks
+    x = np.asarray(x, np.int32)
+    y = np.asarray(y, np.int32)
+    prefix, mask_positions, num_task, nm = patterns.build_inference_prefix(
+        y, mask_intervals, ts
+    )
+    sentinels = np.arange(ts.mts, ts.mts + ts.max_n_spans, dtype=np.int32)
+
+    if dec.aug_text:
+        if uncond_x is None:
+            if dec.cfg_pretrained:
+                uncond_x = np.full_like(x, cfg.text_vocab_size - 1)
+            else:
+                uncond_x = np.asarray(
+                    jax.random.randint(
+                        jax.random.fold_in(rng, 7), x.shape, 0, cfg.n_text_tokens
+                    )
+                )
+        xb = np.stack([x, uncond_x], axis=0)
+    else:
+        xb = x[None]
+
+    x_len = int(x.shape[0])
+    cap_total = min(
+        dec.max_gen_per_span * num_task, dec.length_cap_mult * x_len + 64 * num_task
+    )
+    if tmax is None:
+        tmax = x_len + prefix.shape[1] + cap_total + num_task + 8
+
+    cache, key_banned = _prefill_impl(
+        params, jnp.asarray(xb), jnp.asarray(prefix),
+        cfg=cfg, tmax=tmax, dtype_name=dtype_name,
+        cfg_pretrained=dec.cfg_pretrained, aug_text=dec.aug_text,
+    )
+    out, span_end, out_len = _generate_impl(
+        params, cache, key_banned, rng, jnp.asarray(sentinels),
+        cfg=cfg, dec=dec, num_task=num_task, x_len=x_len,
+        cap_total=cap_total, aug_text=dec.aug_text, dtype_name=dtype_name,
+    )
+    out = np.asarray(out)
+    span_end = np.asarray(span_end)
+
+    # host-side: split per span, revert delay pattern, strip eog
+    gen_spans: List[np.ndarray] = []
+    start = 0
+    for i in range(num_task):
+        end = max(int(span_end[i]), start)
+        span = out[:, start:end]
+        start = end
+        if span.shape[1] >= K:
+            unshifted = patterns.revert_delay_pattern(span)[:, :-1]  # drop eog
+        else:  # cap hit before the span produced its EOG cascade
+            unshifted = np.zeros((K, 0), np.int32)
+        gen_spans.append(unshifted)
+    codes, marks, out_intervals = patterns.splice_generated(y, nm, gen_spans, y.shape[1])
+    return codes, marks, out_intervals, nm

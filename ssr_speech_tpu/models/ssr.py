@@ -1,0 +1,201 @@
+"""SSR-Speech language model over [phoneme tokens ; codec tokens], TPU-native.
+
+Capability parity with the reference ``models/ssr.py`` (SSR_Speech nn.Module):
+  - text embedding + summed per-codebook audio embeddings
+    (``models/ssr.py:132-146,191-198``),
+  - sinusoidal positional embeddings with a learnable scalar alpha
+    (``models/modules/embedding.py:51-98``),
+  - 16-layer pre-norm decoder over the concatenated [x ; y] sequence with the
+    block mask of ``models/ssr.py:227-255``,
+  - K per-codebook prediction heads Linear->GELU->Linear
+    (``models/ssr.py:175-179``),
+  - masked-span infilling loss with per-codebook weights, pad/empty masking,
+    predict_mask_token / predict_all variants (``models/ssr.py:326-379``).
+
+Everything is a pure function over a params pytree so it composes with jit,
+grad, pjit sharding and the compiled decode loop in
+``ssr_speech_tpu.inference.decode``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SSRModelConfig
+from ..ops.masking import make_pad_mask, xy_attn_bias
+from . import transformer as trf
+
+Params = Dict[str, Any]
+
+
+def sine_table(max_len: int, d_model: int) -> jnp.ndarray:
+    """Fixed sin/cos table [max_len, D] (reference
+    ``models/modules/embedding.py:76-92``)."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32) * -(math.log(10000.0) / d_model)
+    )
+    pe = jnp.zeros((max_len, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div))
+    return pe
+
+
+def init_ssr(key: jax.Array, cfg: SSRModelConfig) -> Params:
+    cfg.validate()
+    d, card, hh = cfg.d_model, cfg.cardinality, cfg.head_hidden_dim
+    k = jax.random.split(key, 6)
+    text_emb = jax.random.normal(k[0], (cfg.n_text_tokens, d), jnp.float32)
+    audio_emb = jax.random.normal(k[1], (cfg.n_codebooks, card, d), jnp.float32)
+    h1_w, h1_b = [], []
+    h2_w, h2_b = [], []
+    hk = jax.random.split(k[2], cfg.n_codebooks)
+    for i in range(cfg.n_codebooks):
+        a, b = jax.random.split(hk[i])
+        w1, b1 = trf._linear_init(a, d, (d, hh), (hh,))
+        w2, b2 = trf._linear_init(b, hh, (hh, card), (card,))
+        h1_w.append(w1); h1_b.append(b1); h2_w.append(w2); h2_b.append(b2)
+    return dict(
+        text_emb=text_emb,
+        audio_emb=audio_emb,
+        text_pos_alpha=jnp.ones((1,), jnp.float32),
+        audio_pos_alpha=jnp.ones((1,), jnp.float32),
+        decoder=trf.init_transformer(k[3], cfg),
+        head1_w=jnp.stack(h1_w), head1_b=jnp.stack(h1_b),
+        head2_w=jnp.stack(h2_w), head2_b=jnp.stack(h2_b),
+    )
+
+
+def embed_text(params: Params, cfg: SSRModelConfig, x: jnp.ndarray, pe: jnp.ndarray,
+               start: int = 0) -> jnp.ndarray:
+    """x [B, Sx] int -> [B, Sx, D] with positional embedding added."""
+    h = params["text_emb"][x]
+    return h + params["text_pos_alpha"] * jax.lax.dynamic_slice_in_dim(pe, start, x.shape[1], 0)[None]
+
+
+def embed_audio_tokens(params: Params, cfg: SSRModelConfig, y: jnp.ndarray) -> jnp.ndarray:
+    """y [..., K] int -> [..., D]: sum of per-codebook embeddings
+    (reference ``models/ssr.py:191-198``)."""
+    embs = params["audio_emb"]  # [K, card, D]
+    out = 0.0
+    for k in range(cfg.n_codebooks):
+        out = out + embs[k][y[..., k]]
+    return out
+
+
+def apply_audio_pos(params: Params, y_emb: jnp.ndarray, pe: jnp.ndarray, start) -> jnp.ndarray:
+    s = y_emb.shape[-2]
+    table = jax.lax.dynamic_slice_in_dim(pe, start, s, 0)
+    return y_emb + params["audio_pos_alpha"] * table
+
+
+def predict_logits(params: Params, h: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """h [..., D] -> logits [..., K, card] via the K two-layer GELU heads
+    (reference ``models/ssr.py:175-179,326``)."""
+    w1 = params["head1_w"].astype(dtype)  # [K, D, Hh]
+    b1 = params["head1_b"].astype(dtype)
+    w2 = params["head2_w"].astype(dtype)  # [K, Hh, card]
+    b2 = params["head2_b"].astype(dtype)
+    hidden = jax.nn.gelu(jnp.einsum("...d,kdh->...kh", h.astype(dtype), w1) + b1,
+                         approximate=False)
+    return jnp.einsum("...kh,khc->...kc", hidden, w2) + b2
+
+
+def ssr_forward(
+    params: Params,
+    cfg: SSRModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    predict_mask_token: bool = True,
+    predict_all: bool = False,
+    codebook_weight: Optional[Tuple[float, ...]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Training/eval forward. batch: x [B,Sx], x_lens [B], y [B,Sy,K], y_lens [B].
+
+    Returns dict(loss, top10acc, effective_ntoken, loss_by_codebook,
+    top10acc_by_codebook). Loss weighting matches reference
+    ``models/ssr.py:354-371``: sum_k mean-CE_k * ntokens_k * weight_k.
+    """
+    x, x_lens = batch["x"], batch["x_lens"]
+    y, y_lens = batch["y"], batch["y_lens"]
+    B, sx = x.shape
+    sy = y.shape[1]
+    K = cfg.n_codebooks
+    ts = cfg.tokens
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    r_text, r_tpos, r_apos, r_trm = jax.random.split(rng, 4)
+
+    pe = sine_table(max(sx, sy), cfg.d_model)
+    x_h = embed_text(params, cfg, x, pe)
+    x_h = trf._dropout(x_h, cfg.text_positional_embedding_dropout, r_tpos, deterministic)
+    y_h = embed_audio_tokens(params, cfg, y)
+    y_h = apply_audio_pos(params, y_h, pe, 0)
+    y_h = trf._dropout(y_h, cfg.audio_positional_embedding_dropout, r_apos, deterministic)
+
+    h = jnp.concatenate([x_h, y_h], axis=1)
+    bias = xy_attn_bias(x_lens, y_lens, sx, sy)
+    out = trf.transformer_forward(
+        params["decoder"], h, bias, cfg,
+        deterministic=deterministic, rng=r_trm, dtype=compute_dtype,
+    )
+    y_out = out[:, sx:]  # [B, Sy, D]
+    logits = predict_logits(params, y_out)  # [B, Sy, K, card]
+
+    # next-token objective: predict y[t+1] from position t
+    logits = logits[:, :-1]  # [B, Sy-1, K, C]
+    targets = y[:, 1:]  # [B, Sy-1, K]
+    valid = ~make_pad_mask(y_lens, sy)[:, 1:]  # target positions within length
+
+    masks = (targets != ts.pad) & (targets != ts.empty) & valid[..., None]
+    if not predict_mask_token:
+        masks = masks & (targets < ts.mts)
+    tmp_masks = masks
+    if not predict_all:
+        # only predict from the last mask-sentinel (id == ts.mts) onward,
+        # reference models/ssr.py:342-346
+        is_mts = (targets == ts.mts) & valid[..., None]
+        pos = jnp.arange(targets.shape[1])[None, :, None]
+        last_mts = jnp.max(jnp.where(is_mts, pos, -1), axis=1, keepdims=True)
+        tmp_masks = masks & (pos >= last_mts)
+
+    logf = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logf, axis=-1)
+    tgt_logp = jnp.take_along_axis(logf, targets[..., None], axis=-1)[..., 0] - logz
+    nll = -tgt_logp  # [B, S-1, K]
+
+    sel = tmp_masks.astype(jnp.float32)
+    ce_sum = jnp.sum(nll * sel, axis=(0, 1))  # [K]
+    sel_cnt = jnp.maximum(jnp.sum(sel, axis=(0, 1)), 1.0)  # [K]
+    ce_mean = ce_sum / sel_cnt
+
+    ntokens = jnp.sum(masks.astype(jnp.float32), axis=(0, 1))  # [K]
+    if codebook_weight is None:
+        cw = jnp.ones((K,), jnp.float32)
+    else:
+        cw = jnp.asarray(codebook_weight, jnp.float32)
+    loss = jnp.sum(ce_mean * ntokens * cw)
+
+    # top-10 accuracy per codebook (reference models/ssr.py:181-189,361)
+    top10 = jax.lax.top_k(logf, 10)[1]  # [B,S-1,K,10]
+    hit = jnp.any(top10 == targets[..., None], axis=-1).astype(jnp.float32)
+    acc_k = jnp.sum(hit * sel, axis=(0, 1)) / sel_cnt
+
+    return dict(
+        loss=loss,
+        effective_ntoken=jnp.sum(ntokens),
+        loss_by_codebook=ce_mean,
+        top10acc_by_codebook=acc_k * ntokens,
+        top10acc=jnp.sum(acc_k * ntokens),
+    )
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

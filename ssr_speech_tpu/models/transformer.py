@@ -1,0 +1,245 @@
+"""Functional pre-norm transformer with stacked-layer scan and a ring KV cache.
+
+Re-designs the reference decoder stack (``models/modules/transformer.py:179-489``
+TransformerEncoderLayer/TransformerEncoder reused as a self-attention-only
+decoder, and the KV-cache threading of ``models/modules/activation.py:626-634``)
+as pure JAX:
+
+  - all L layers' parameters are stacked on a leading axis and executed with a
+    single ``lax.scan`` (one compiled layer body instead of L unrolled ones);
+  - the KV cache is a preallocated ``[L, B, H, Tmax, Dh]`` buffer updated with
+    ``dynamic_update_slice`` — no concatenation, no reallocation, so the whole
+    AR decode loop stays inside one XLA while-loop;
+  - attention is computed with plain einsum/softmax which XLA fuses and maps
+    onto the MXU; no torch SDPA needed.
+
+Math parity targets: LayerNorm eps 1e-5 (``transformer.py:18-80``), packed QKV
+projection (``activation.py:233``), ReLU feed-forward d_model*4
+(``models/ssr.py:160-168``), final LayerNorm after the stack
+(``models/ssr.py:169-173``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SSRModelConfig
+
+Params = Dict[str, Any]
+
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _linear_init(key, fan_in, shape_w, shape_b, dtype=jnp.float32):
+    """torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    return _uniform(kw, shape_w, bound, dtype), _uniform(kb, shape_b, bound, dtype)
+
+
+def init_transformer(key: jax.Array, cfg: SSRModelConfig) -> Params:
+    """Stacked parameters for L identical pre-norm layers + final norm."""
+    d, f, L = cfg.d_model, cfg.ffn_dim, cfg.num_layers
+    keys = jax.random.split(key, L)
+
+    def one_layer(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        # torch MultiheadAttention uses xavier_uniform for in_proj
+        # (activation.py in_proj_weight) and Linear default for out_proj.
+        limit = math.sqrt(6.0 / (d + 3 * d))
+        qkv_w = jax.random.uniform(k1, (d, 3 * d), jnp.float32, -limit, limit)
+        qkv_b = jnp.zeros((3 * d,), jnp.float32)
+        out_w, out_b = _linear_init(k2, d, (d, d), (d,))
+        ffn1_w, ffn1_b = _linear_init(k3, d, (d, f), (f,))
+        ffn2_w, ffn2_b = _linear_init(k4, f, (f, d), (d,))
+        return dict(
+            ln1_w=jnp.ones((d,)), ln1_b=jnp.zeros((d,)),
+            qkv_w=qkv_w, qkv_b=qkv_b, out_w=out_w, out_b=out_b,
+            ln2_w=jnp.ones((d,)), ln2_b=jnp.zeros((d,)),
+            ffn1_w=ffn1_w, ffn1_b=ffn1_b, ffn2_w=ffn2_w, ffn2_b=ffn2_b,
+        )
+
+    layers = [one_layer(k) for k in keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+    return dict(layers=stacked, final_ln_w=jnp.ones((d,)), final_ln_b=jnp.zeros((d,)))
+
+
+def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * w + b).astype(x.dtype)
+
+
+def _dropout(x, rate, key, deterministic):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def _split_heads(x: jnp.ndarray, nhead: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, nhead, d // nhead).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, s, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
+
+def _attend(q, k, v, bias):
+    """q [B,H,Tq,Dh] x k/v [B,H,Tk,Dh] with additive bias [B,1,Tq,Tk]."""
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(dh) + bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def transformer_forward(
+    params: Params,
+    h: jnp.ndarray,
+    bias: jnp.ndarray,
+    cfg: SSRModelConfig,
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Full-sequence forward (training / prefill without cache capture).
+
+    h: [B, S, D]; bias: [B, 1, S, S] additive. Returns [B, S, D] after the
+    final LayerNorm (reference ``models/ssr.py:169-173``).
+    """
+    nhead, rate = cfg.nhead, cfg.trm_dropout
+    h = h.astype(dtype)
+    bias = bias.astype(jnp.float32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def body(carry, lp):
+        h, key = carry
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"])
+        qkv = hn @ lp["qkv_w"].astype(dtype) + lp["qkv_b"].astype(dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn = _attend(_split_heads(q, nhead), _split_heads(k, nhead), _split_heads(v, nhead), bias)
+        attn = _merge_heads(attn) @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
+        h = h + _dropout(attn, rate, k1, deterministic)
+        hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
+        ff = jax.nn.relu(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
+        ff = _dropout(ff, rate, k2, deterministic)
+        ff = ff @ lp["ffn2_w"].astype(dtype) + lp["ffn2_b"].astype(dtype)
+        h = h + _dropout(ff, rate, k3, deterministic)
+        return (h, key), None
+
+    (h, _), _ = jax.lax.scan(body, (h, rng), params["layers"])
+    return layer_norm(h, params["final_ln_w"], params["final_ln_b"])
+
+
+class KVCache(NamedTuple):
+    """Preallocated per-layer key/value buffers and the current fill length."""
+
+    k: jnp.ndarray  # [L, B, H, Tmax, Dh]
+    v: jnp.ndarray  # [L, B, H, Tmax, Dh]
+    length: jnp.ndarray  # scalar int32: number of valid positions
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
+def init_kv_cache(cfg: SSRModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, cfg.nhead, max_len, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.asarray(0, jnp.int32))
+
+
+def transformer_prefill(
+    params: Params,
+    h: jnp.ndarray,
+    bias: jnp.ndarray,
+    cache: KVCache,
+    cfg: SSRModelConfig,
+    *,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Full forward over the prompt while filling the KV cache at offset
+    ``cache.length`` (normally 0). Returns (hidden [B,S,D], cache)."""
+    nhead = cfg.nhead
+    h = h.astype(dtype)
+    start = cache.length
+
+    def body(carry, xs):
+        h = carry
+        lp, ck, cv = xs
+        hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"])
+        qkv = hn @ lp["qkv_w"].astype(dtype) + lp["qkv_b"].astype(dtype)
+        q, k, v = (_split_heads(t, nhead) for t in jnp.split(qkv, 3, axis=-1))
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, start, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, start, 0))
+        attn = _merge_heads(_attend(q, k, v, bias))
+        attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
+        h = h + attn
+        hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
+        ff = jax.nn.relu(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
+        h = h + ff @ lp["ffn2_w"].astype(dtype) + lp["ffn2_b"].astype(dtype)
+        return h, (ck, cv)
+
+    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    out = layer_norm(h, params["final_ln_w"], params["final_ln_b"])
+    return out, KVCache(new_k, new_v, start + h.shape[1])
+
+
+def transformer_decode_step(
+    params: Params,
+    h_t: jnp.ndarray,
+    cache: KVCache,
+    key_banned: jnp.ndarray,
+    cfg: SSRModelConfig,
+    *,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One-token decode: h_t [B, D] at position cache.length.
+
+    key_banned: [B, Tmax] bool, True for key positions that must never be
+    attended (e.g. the CFG-unconditional row's padded text,
+    reference ``models/ssr.py:632-634``). Future positions are masked
+    automatically from ``cache.length``. Returns (out [B, D], cache + 1).
+    """
+    nhead = cfg.nhead
+    b, d = h_t.shape
+    tmax = cache.max_len
+    pos = cache.length
+    h = h_t.astype(dtype)[:, None, :]  # [B, 1, D]
+
+    valid = jnp.arange(tmax)[None, :] <= pos  # [1, Tmax], key <= current pos
+    banned = (~valid) | key_banned
+    bias = jnp.where(banned, -1e9, 0.0).astype(jnp.float32)[:, None, None, :]  # [B,1,1,Tmax]
+
+    def body(carry, xs):
+        h = carry
+        lp, ck, cv = xs
+        hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"])
+        qkv = hn @ lp["qkv_w"].astype(dtype) + lp["qkv_b"].astype(dtype)
+        q, k, v = (_split_heads(t, nhead) for t in jnp.split(qkv, 3, axis=-1))
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, pos, 0))
+        attn = _merge_heads(_attend(q, ck.astype(dtype), cv.astype(dtype), bias))
+        attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
+        h = h + attn
+        hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
+        ff = jax.nn.relu(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
+        h = h + ff @ lp["ffn2_w"].astype(dtype) + lp["ffn2_b"].astype(dtype)
+        return h, (ck, cv)
+
+    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    out = layer_norm(h, params["final_ln_w"], params["final_ln_b"])
+    return out[:, 0, :], KVCache(new_k, new_v, pos + 1)
