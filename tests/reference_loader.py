@@ -1,0 +1,120 @@
+"""Test-only loader for the PyTorch reference implementation.
+
+Used exclusively to verify numerical parity of the JAX rebuild against the
+reference (/root/reference, read-only). Stubs the reference's unavailable
+runtime deps (flashy, soundfile, torchmetrics) so individual modules import.
+Parity tests are skipped automatically when the reference tree is absent.
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+REFERENCE_ROOT = Path("/root/reference")
+AUDIOCRAFT_ROOT = REFERENCE_ROOT / "audiocraft" / "audiocraft"
+
+
+def reference_available() -> bool:
+    return AUDIOCRAFT_ROOT.is_dir()
+
+
+def _stub(name: str, **attrs) -> types.ModuleType:
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def _ensure_pkg(name: str, path: Path) -> types.ModuleType:
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    mod.__path__ = [str(path)]
+    sys.modules[name] = mod
+    return mod
+
+
+def load_reference_modules():
+    """Import the reference seanet/conv/lstm/quantization modules without
+    executing the heavy package __init__ (which needs soundfile/av)."""
+    assert reference_available()
+    # stub flashy.distrib used by core_vq kmeans sync
+    flashy = _stub("flashy")
+    distrib = _stub("flashy.distrib", broadcast_tensors=lambda *a, **k: None,
+                    is_distributed=lambda: False)
+    flashy.distrib = distrib
+
+    _ensure_pkg("refac", AUDIOCRAFT_ROOT)
+    _ensure_pkg("refac.modules", AUDIOCRAFT_ROOT / "modules")
+    _ensure_pkg("refac.quantization", AUDIOCRAFT_ROOT / "quantization")
+
+    def load(name, rel):
+        spec = importlib.util.spec_from_file_location(name, AUDIOCRAFT_ROOT / rel)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    conv = load("refac.modules.conv", "modules/conv.py")
+    lstm = load("refac.modules.lstm", "modules/lstm.py")
+    streaming = load("refac.modules.streaming", "modules/streaming.py")
+    seanet = load("refac.modules.seanet", "modules/seanet.py")
+    base_q = load("refac.quantization.base", "quantization/base.py")
+    core_vq = load("refac.quantization.core_vq", "quantization/core_vq.py")
+    qpkg = sys.modules["refac.quantization"]
+    qpkg.base = base_q
+    qpkg.core_vq = core_vq
+    vq = load("refac.quantization.vq", "quantization/vq.py")
+    return types.SimpleNamespace(
+        conv=conv, lstm=lstm, seanet=seanet, vq=vq, core_vq=core_vq
+    )
+
+
+def load_reference_lm():
+    """Import the reference SSR transformer modules (torch-only deps)."""
+    assert REFERENCE_ROOT.is_dir()
+    # stub torchmetrics for models/ssr.py
+    class _FakeAcc:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
+            import torch
+
+            return torch.tensor(0.0)
+
+        def to(self, *a, **k):
+            return self
+
+    tm = _stub("torchmetrics")
+    cls = _stub("torchmetrics.classification", MulticlassAccuracy=_FakeAcc)
+    tm.classification = cls
+
+    _ensure_pkg("refssr", REFERENCE_ROOT)
+    _ensure_pkg("refssr.models", REFERENCE_ROOT / "models")
+    _ensure_pkg("refssr.models.modules", REFERENCE_ROOT / "models" / "modules")
+
+    def load(name, rel):
+        spec = importlib.util.spec_from_file_location(name, REFERENCE_ROOT / rel)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    utils = load("refssr.models.modules.utils", "models/modules/utils.py")
+    emb = load("refssr.models.modules.embedding", "models/modules/embedding.py")
+    scaling = load("refssr.models.modules.scaling", "models/modules/scaling.py")
+    activation = load("refssr.models.modules.activation", "models/modules/activation.py")
+    transformer = load("refssr.models.modules.transformer", "models/modules/transformer.py")
+    ssr = load("refssr.models.ssr", "models/ssr.py")
+    return types.SimpleNamespace(
+        utils=utils, embedding=emb, activation=activation,
+        transformer=transformer, ssr=ssr,
+    )
