@@ -80,18 +80,15 @@ def load_reference_modules():
 def load_reference_lm():
     """Import the reference SSR transformer modules (torch-only deps)."""
     assert REFERENCE_ROOT.is_dir()
-    # stub torchmetrics for models/ssr.py
-    class _FakeAcc:
+    # stub torchmetrics for models/ssr.py (must be an nn.Module for ModuleList)
+    import torch
+
+    class _FakeAcc(torch.nn.Module):
         def __init__(self, *a, **k):
-            pass
+            super().__init__()
 
-        def __call__(self, *a, **k):
-            import torch
-
+        def forward(self, *a, **k):
             return torch.tensor(0.0)
-
-        def to(self, *a, **k):
-            return self
 
     tm = _stub("torchmetrics")
     cls = _stub("torchmetrics.classification", MulticlassAccuracy=_FakeAcc)
