@@ -155,9 +155,14 @@ def _generate_impl(
         # cascade-active overrides (models/ssr.py:716-719)
         casc_samples = jnp.where(row_ids < s.num_eog, ts.empty, samples)
         casc_samples = jnp.where(row_ids == s.num_eog, ts.eog, casc_samples)
-        # cascade-inactive trigger (models/ssr.py:738-742)
+        # cascade-inactive trigger (models/ssr.py:738-742) plus a per-span
+        # hard cap (ours: guarantees termination within max_gen_per_span)
         too_long = (s.y_pos + 1) > length_cap
-        trigger = (samples[0] == ts.eog) | (jnp.argmax(lg[0]) == ts.eog) | too_long
+        span_cap = s.num_gen >= (dec.max_gen_per_span - K)
+        trigger = (
+            (samples[0] == ts.eog) | (jnp.argmax(lg[0]) == ts.eog)
+            | too_long | span_cap
+        )
         plain_samples = samples.at[0].set(jnp.where(trigger, ts.eog, samples[0]))
 
         new_samples = jnp.where(in_cascade, casc_samples, plain_samples)

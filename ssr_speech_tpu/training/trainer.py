@@ -1,0 +1,291 @@
+"""SSR LM trainer: jitted SPMD train step + host training loop.
+
+Capability parity with the reference trainer (``steps/trainer.py``):
+  - DDP -> data-parallel mesh axis; gradients all-reduced by XLA
+    (trainer.py:48, main.py:47),
+  - mixed precision: bf16 compute, fp32 master params — replaces the fp16
+    GradScaler dance (trainer.py:36,92,141; fp16 loss scaling is unnecessary
+    with bf16 on TPU),
+  - gradient accumulation as a ``lax.scan`` over microbatches
+    (trainer.py:89-91 slices the batch j::accum),
+  - NaN-batch skip decided on device and applied with ``jnp.where`` so every
+    replica takes the same branch (trainer.py:100-111),
+  - ScaledAdam backward on the un-normalized weighted-sum loss, AdamW on
+    loss/ntokens (trainer.py:141-144),
+  - validation + best/last checkpoint bundles with config and phn2num
+    (trainer.py:200-241), early stopping (trainer.py:206-215),
+  - divergence abort when running train loss is NaN (trainer.py:183-185).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import SSRModelConfig, TrainConfig, config_to_json
+from ..models import ssr as ssr_model
+from ..parallel import mesh as meshlib
+from ..utils import checkpoint as ckpt
+from ..utils.metrics import AverageMeter
+from . import optim as optimlib
+
+logger = logging.getLogger(__name__)
+
+
+def make_train_step(
+    cfg: SSRModelConfig,
+    tcfg: TrainConfig,
+    optimizer,
+    mesh=None,
+):
+    """Build the jitted train step. batch arrays: x [B,Sx], x_lens, y [B,Sy,K],
+    y_lens; with grad accumulation the leading dim is [A, B/A, ...]."""
+    compute_dtype = jnp.bfloat16 if tcfg.precision == "bfloat16" else jnp.float32
+    normalize = tcfg.optim.optimizer_name.lower() != "scaledadam"
+    cw = tcfg.codebook_weight
+
+    def loss_fn(params, batch, rng):
+        out = ssr_model.ssr_forward(
+            params, cfg, batch, deterministic=False, rng=rng,
+            compute_dtype=compute_dtype,
+            predict_mask_token=tcfg.masking.predict_mask_token,
+            predict_all=tcfg.masking.predict_all,
+            codebook_weight=cw,
+        )
+        loss = out["loss"]
+        if normalize:
+            loss = loss / jnp.maximum(out["effective_ntoken"], 1.0)
+        return loss, out
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(params, opt_state, batch, rng):
+        accum = tcfg.gradient_accumulation_steps
+
+        if accum > 1:
+            def micro(carry, mb):
+                grads_acc, metrics_acc, key = carry
+                key, sub = jax.random.split(key)
+                (loss, out), grads = grad_fn(params, mb, sub)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                m = jnp.stack([out["loss"], out["top10acc"], out["effective_ntoken"]])
+                return (grads_acc, metrics_acc + m, key), out["top10acc_by_codebook"]
+
+            zero_grads = jax.tree.map(jnp.zeros_like, params)
+            (grads, msum, _), acc_cb = jax.lax.scan(
+                micro, (zero_grads, jnp.zeros(3), rng), batch
+            )
+            loss_sum, top10_sum, ntok = msum[0], msum[1], msum[2]
+            acc_cb = jnp.sum(acc_cb, axis=0)
+        else:
+            (loss, out), grads = grad_fn(params, batch, rng)
+            loss_sum, top10_sum, ntok = out["loss"], out["top10acc"], out["effective_ntoken"]
+            acc_cb = out["top10acc_by_codebook"]
+
+        # NaN/Inf skip, same decision on every replica (trainer.py:100-111)
+        grads_finite = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+        )
+        is_good = jnp.isfinite(loss_sum) & grads_finite
+
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+        params_out = jax.tree.map(
+            lambda n, o: jnp.where(is_good, n, o), new_params, params
+        )
+        opt_out = jax.tree.map(
+            lambda n, o: jnp.where(is_good, n, o), new_opt_state, opt_state
+        )
+        metrics = dict(
+            loss=loss_sum, top10acc=top10_sum, ntokens=ntok,
+            top10acc_by_codebook=acc_cb, skipped=(~is_good).astype(jnp.float32),
+        )
+        return params_out, opt_out, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    pspec = meshlib.ssr_param_specs(None)
+    bspec = meshlib.batch_specs()
+    if tcfg.gradient_accumulation_steps > 1:
+        bspec = {k: P(*((None,) + tuple(s))) for k, s in bspec.items()}
+    return jax.jit(
+        train_step,
+        donate_argnums=(0, 1),
+        in_shardings=(
+            meshlib.named_sharding_tree(mesh, pspec),
+            None,
+            meshlib.named_sharding_tree(mesh, bspec),
+            None,
+        ),
+    )
+
+
+def make_eval_step(cfg: SSRModelConfig, tcfg: TrainConfig):
+    compute_dtype = jnp.bfloat16 if tcfg.precision == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = ssr_model.ssr_forward(
+            params, cfg, batch, deterministic=True,
+            compute_dtype=compute_dtype,
+            predict_mask_token=tcfg.masking.predict_mask_token,
+            predict_all=tcfg.masking.predict_all,
+            codebook_weight=tcfg.codebook_weight,
+        )
+        return dict(loss=out["loss"], top10acc=out["top10acc"],
+                    ntokens=out["effective_ntoken"],
+                    top10acc_by_codebook=out["top10acc_by_codebook"])
+
+    return eval_step
+
+
+class Trainer:
+    """Host-side training loop (reference ``steps/trainer.py:23-470``)."""
+
+    def __init__(
+        self,
+        cfg: SSRModelConfig,
+        tcfg: TrainConfig,
+        train_loader: Callable[[int], Iterator[Dict[str, np.ndarray]]],
+        valid_loader: Optional[Callable[[], Iterator[Dict[str, np.ndarray]]]] = None,
+        phn2num: Optional[Dict[str, int]] = None,
+        mesh=None,
+        exp_dir: Optional[str] = None,
+    ):
+        self.cfg, self.tcfg = cfg, tcfg
+        self.train_loader, self.valid_loader = train_loader, valid_loader
+        self.phn2num = phn2num or {}
+        self.mesh = mesh
+        self.exp_dir = exp_dir or tcfg.data.exp_dir or "exp"
+        os.makedirs(self.exp_dir, exist_ok=True)
+
+        key = jax.random.PRNGKey(tcfg.seed)
+        self.rng, init_key = jax.random.split(key)
+        self.params = ssr_model.init_ssr(init_key, cfg)
+        total = tcfg.num_steps or 100000
+        self.optimizer, self.schedule = optimlib.build_optimizer(tcfg.optim, total)
+        self.opt_state = self.optimizer.init(self.params)
+        self.train_step = make_train_step(cfg, tcfg, self.optimizer, mesh)
+        self.eval_step = make_eval_step(cfg, tcfg)
+        self.progress = dict(step=0, epoch=0, cur_step=0, best_step=0,
+                             best_score=float("inf"))
+        self.meters = {k: AverageMeter() for k in
+                       ("train_loss", "train_top10acc", "data_time", "train_time")}
+        self.total_step = total
+
+    # ------------------------------------------------------------- loop
+
+    def train(self):
+        tcfg = self.tcfg
+        flag = True
+        data_start = time.time()
+        while flag:
+            for batch in self.train_loader(self.progress["epoch"]):
+                if self.progress["step"] > self.total_step:
+                    flag = False
+                    self.validate_and_save()
+                    break
+                data_end = time.time()
+                self.rng, step_key = jax.random.split(self.rng)
+                self.params, self.opt_state, metrics = self.train_step(
+                    self.params, self.opt_state, batch, step_key
+                )
+                step = self.progress["step"]
+                if step % tcfg.print_every_n_steps == 0:
+                    m = jax.device_get(metrics)
+                    ntok = max(float(m["ntokens"]), 1.0)
+                    self.meters["train_loss"].update(float(m["loss"]) / ntok)
+                    self.meters["train_top10acc"].update(float(m["top10acc"]) / ntok)
+                    self.meters["data_time"].update(data_end - data_start)
+                    self.meters["train_time"].update(time.time() - data_end)
+                    logger.info(
+                        "step %d/%d lr %.6f loss %.4f (%.4f) top10acc %.4f skipped %.0f",
+                        step, self.total_step, float(self.schedule(step)),
+                        self.meters["train_loss"].val, self.meters["train_loss"].avg,
+                        self.meters["train_top10acc"].val, float(m["skipped"]),
+                    )
+                    if np.isnan(self.meters["train_loss"].avg):
+                        raise RuntimeError("training diverged...")
+                if step > 0 and step % tcfg.val_every_n_steps == 0:
+                    if not self.validate_and_save():
+                        flag = False
+                        break
+                self.progress["step"] += 1
+                self.progress["cur_step"] += 1
+                data_start = time.time()
+            else:
+                self.progress["epoch"] += 1
+                self.progress["cur_step"] = 0
+                continue
+            break
+        return self.progress
+
+    # ------------------------------------------------------- validation
+
+    def validate(self) -> float:
+        if self.valid_loader is None:
+            return float("nan")
+        tot = np.zeros(3)
+        for batch in self.valid_loader():
+            m = jax.device_get(self.eval_step(self.params, batch))
+            tot += np.array([float(m["loss"]), float(m["top10acc"]),
+                             float(m["ntokens"])])
+        loss = tot[0] / max(tot[2], 1.0)
+        logger.info("val loss %.4f top10acc %.4f ntokens %d",
+                    loss, tot[1] / max(tot[2], 1.0), int(tot[2]))
+        return float(loss)
+
+    def validate_and_save(self) -> bool:
+        """Returns False when early stopping triggers
+        (reference trainer.py:200-244)."""
+        score = self.validate()
+        step = self.progress["step"]
+        if not np.isnan(score) and score < self.progress["best_score"] - max(
+            self.tcfg.early_stop_threshold, 0.0
+        ):
+            self.progress["best_score"] = score
+            self.progress["best_step"] = step
+            self.save_bundle("best_bundle.pkl")
+        self.save_bundle("bundle.pkl")
+        if (
+            self.tcfg.early_stop_step > 0
+            and step - self.progress["best_step"] > self.tcfg.early_stop_step
+        ):
+            logger.info("early stop at step %d (best %d)", step,
+                        self.progress["best_step"])
+            return False
+        return True
+
+    # ------------------------------------------------------ checkpoints
+
+    def save_bundle(self, name: str):
+        ckpt.save_bundle(
+            os.path.join(self.exp_dir, name),
+            params=self.params,
+            opt_state=self.opt_state,
+            progress=self.progress,
+            model_config=dataclasses.asdict(self.cfg),
+            train_config=dataclasses.asdict(self.tcfg),
+            phn2num=self.phn2num,
+        )
+
+    def load_bundle(self, path: str, load_optimizer: bool = True):
+        bundle = ckpt.load_bundle(path)
+        self.params = jax.tree.map(jnp.asarray, bundle["params"])
+        if load_optimizer and bundle.get("opt_state") is not None:
+            self.opt_state = jax.tree.unflatten(
+                jax.tree.structure(self.opt_state),
+                jax.tree.leaves(jax.tree.map(jnp.asarray, bundle["opt_state"])),
+            )
+        self.progress.update(bundle.get("progress", {}))
+        self.phn2num = bundle.get("phn2num", self.phn2num)
