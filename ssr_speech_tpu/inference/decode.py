@@ -284,6 +284,8 @@ def generate(
     rng: jax.Array,
     *,
     uncond_x: Optional[np.ndarray] = None,
+    prompt_x: Optional[np.ndarray] = None,
+    prompt_y: Optional[np.ndarray] = None,
     tmax: Optional[int] = None,
     dtype_name: str = "bfloat16",
 ) -> Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]], List[Tuple[int, int]]]:
@@ -292,11 +294,27 @@ def generate(
     Returns (codes [1, K, T'], marks [1, T'], out_intervals, nm_intervals)
     mirroring the reference ``SSR_Speech.inference`` outputs
     (``models/ssr.py:786-812``).
+
+    aug_context (reference models/ssr.py:563-593): when enabled and the total
+    masked content is shorter than 2 s (100 codec frames), the prompt
+    audio+text are prepended as extra context and trimmed from the outputs.
     """
     ts = cfg.tokens
     K = cfg.n_codebooks
     x = np.asarray(x, np.int32)
     y = np.asarray(y, np.int32)
+
+    context_len = sum(e - s for s, e in mask_intervals)
+    out_len = 0
+    if (
+        dec.aug_context and context_len < 2 * dec.codec_sr
+        and prompt_x is not None and prompt_y is not None and prompt_x.size
+    ):
+        prompt_y = np.asarray(prompt_y, np.int32)
+        out_len = prompt_y.shape[1]
+        y = np.concatenate([prompt_y, y], axis=1)
+        x = np.concatenate([np.asarray(prompt_x, np.int32), x])
+        mask_intervals = [(s + out_len, e + out_len) for s, e in mask_intervals]
     prefix, mask_positions, num_task, nm = patterns.build_inference_prefix(
         y, mask_intervals, ts
     )
@@ -349,4 +367,9 @@ def generate(
             unshifted = np.zeros((K, 0), np.int32)
         gen_spans.append(unshifted)
     codes, marks, out_intervals = patterns.splice_generated(y, nm, gen_spans, y.shape[1])
+    if out_len:  # trim the prepended context (reference models/ssr.py:806-810)
+        codes = codes[:, :, out_len:]
+        marks = marks[:, out_len:]
+        out_intervals = [(s - out_len, e - out_len) for s, e in out_intervals]
+        nm = [(s - out_len, e - out_len) for s, e in nm]
     return codes, marks, out_intervals, nm

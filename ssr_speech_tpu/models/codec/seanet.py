@@ -36,21 +36,21 @@ act = jax.nn.elu  # ELU alpha=1.0 (config activation_params)
 
 # ----------------------------------------------------------------- res block
 
-def init_resblock(key, dim: int, cfg: SEANetConfig, dilation: int, norm: bool) -> Params:
+def init_resblock(key, dim: int, cfg: SEANetConfig, norm: bool) -> Params:
     hidden = dim // cfg.compress
     k1, k2 = jax.random.split(key)
     return dict(
         conv1=cv.init_conv(k1, cfg.residual_kernel_size, dim, hidden, weight_norm=norm),
         conv2=cv.init_conv(k2, 1, hidden, dim, weight_norm=norm),
-        dilation=dilation,
     )
 
 
-def resblock(p: Params, x: jnp.ndarray, cfg: SEANetConfig) -> jnp.ndarray:
+def resblock(p: Params, x: jnp.ndarray, cfg: SEANetConfig, dilation: int) -> jnp.ndarray:
     """[ELU, conv k3 dilated, ELU, conv k1] + identity skip (reference
-    seanet.py:16-60, true_skip)."""
+    seanet.py:16-60, true_skip). Dilation = dilation_base**j for the j-th
+    residual layer in a group (derived from position, not stored)."""
     h = act(x)
-    h = cv.conv1d(p["conv1"], h, dilation=p["dilation"], causal=cfg.causal,
+    h = cv.conv1d(p["conv1"], h, dilation=dilation, causal=cfg.causal,
                   pad_mode=cfg.pad_mode)
     h = act(h)
     h = cv.conv1d(p["conv2"], h, causal=cfg.causal, pad_mode=cfg.pad_mode)
@@ -78,13 +78,12 @@ def init_encoder(key, cfg: SEANetConfig) -> Params:
     for i, ratio in enumerate(ratios):
         norm = blk_norm(i + 2)
         res = [
-            init_resblock(next(ki), mult * cfg.n_filters, cfg,
-                          cfg.dilation_base ** j, norm)
+            init_resblock(next(ki), mult * cfg.n_filters, cfg, norm)
             for j in range(cfg.n_residual_layers)
         ]
         down = cv.init_conv(next(ki), ratio * 2, mult * cfg.n_filters,
                             mult * cfg.n_filters * 2, weight_norm=norm)
-        params["groups"].append(dict(res=res, down=down, ratio=ratio))
+        params["groups"].append(dict(res=res, down=down))
         mult *= 2
     if cfg.lstm:
         params["lstm"] = cv.init_lstm(next(ki), mult * cfg.n_filters, cfg.lstm)
@@ -107,13 +106,14 @@ def encode(
     """
     h = cv.conv1d(p["conv_in"], x, causal=cfg.causal, pad_mode=cfg.pad_mode)
     taps: List[jnp.ndarray] = []
-    for g in p["groups"]:
-        for rp in g["res"]:
-            h = resblock(rp, h, cfg)
+    enc_ratios = list(reversed(cfg.ratios))
+    for i, g in enumerate(p["groups"]):
+        for j, rp in enumerate(g["res"]):
+            h = resblock(rp, h, cfg, cfg.dilation_base ** j)
         if return_taps:
             taps.append(h)  # after res-blocks, before the down-conv act
         h = act(h)
-        h = cv.conv1d(g["down"], h, stride=g["ratio"], causal=cfg.causal,
+        h = cv.conv1d(g["down"], h, stride=enc_ratios[i], causal=cfg.causal,
                       pad_mode=cfg.pad_mode)
     if "lstm" in p:
         h = cv.lstm_skip(p["lstm"], h)
@@ -150,11 +150,10 @@ def init_decoder(key, cfg: SEANetConfig) -> Params:
         up = cv.init_conv_transpose(next(ki), ratio * 2, mult * cfg.n_filters,
                                     mult * cfg.n_filters // 2, weight_norm=norm)
         res = [
-            init_resblock(next(ki), mult * cfg.n_filters // 2, cfg,
-                          cfg.dilation_base ** j, norm)
+            init_resblock(next(ki), mult * cfg.n_filters // 2, cfg, norm)
             for j in range(cfg.n_residual_layers)
         ]
-        params["groups"].append(dict(up=up, res=res, ratio=ratio))
+        params["groups"].append(dict(up=up, res=res))
         mult //= 2
     params["conv_out"] = cv.init_conv(
         next(ki), cfg.last_kernel_size, cfg.n_filters, cfg.channels,
@@ -170,25 +169,25 @@ def _decoder_stage0(p: Params, z: jnp.ndarray, cfg: SEANetConfig) -> jnp.ndarray
         h = cv.lstm_skip(p["lstm"], h)
     g = p["groups"][0]
     h = act(h)
-    return cv.conv_transpose1d(g["up"], h, stride=g["ratio"], causal=cfg.causal,
+    return cv.conv_transpose1d(g["up"], h, stride=cfg.ratios[0], causal=cfg.causal,
                                trim_right_ratio=cfg.trim_right_ratio)
 
 
 def _decoder_stage(p: Params, h: jnp.ndarray, i: int, cfg: SEANetConfig) -> jnp.ndarray:
     """res-blocks of group i-1 then up-conv of group i (reference model[4:7] etc.)."""
     prev = p["groups"][i - 1]
-    for rp in prev["res"]:
-        h = resblock(rp, h, cfg)
+    for j, rp in enumerate(prev["res"]):
+        h = resblock(rp, h, cfg, cfg.dilation_base ** j)
     g = p["groups"][i]
     h = act(h)
-    return cv.conv_transpose1d(g["up"], h, stride=g["ratio"], causal=cfg.causal,
+    return cv.conv_transpose1d(g["up"], h, stride=cfg.ratios[i], causal=cfg.causal,
                                trim_right_ratio=cfg.trim_right_ratio)
 
 
 def _decoder_tail(p: Params, h: jnp.ndarray, cfg: SEANetConfig) -> jnp.ndarray:
     """last group's res-blocks + ELU + conv-out (reference model[10:])."""
-    for rp in p["groups"][-1]["res"]:
-        h = resblock(rp, h, cfg)
+    for j, rp in enumerate(p["groups"][-1]["res"]):
+        h = resblock(rp, h, cfg, cfg.dilation_base ** j)
     h = act(h)
     h = cv.conv1d(p["conv_out"], h, causal=cfg.causal, pad_mode=cfg.pad_mode)
     if cfg.final_activation == "Tanh":

@@ -83,13 +83,12 @@ def _convtr_params(sd: StateDict, prefix: str) -> Dict[str, Array]:
     return out
 
 
-def _resblock_params(sd: StateDict, prefix: str, dilation: int) -> Dict[str, Any]:
+def _resblock_params(sd: StateDict, prefix: str) -> Dict[str, Any]:
     """SEANetResnetBlock: block.1 (k3) and block.3 (k1) convs
     (reference seanet.py:42-51, true_skip identity shortcut)."""
     return dict(
         conv1=_conv_params(sd, _j(prefix, "block.1")),
         conv2=_conv_params(sd, _j(prefix, "block.3")),
-        dilation=dilation,
     )
 
 
@@ -119,12 +118,12 @@ def convert_seanet_encoder(sd: StateDict, prefix: str, cfg: CodecConfig) -> Dict
     for ratio in ratios:
         res = []
         for j in range(sn.n_residual_layers):
-            res.append(_resblock_params(sd, _j(prefix, f"model.{idx}"), sn.dilation_base ** j))
+            res.append(_resblock_params(sd, _j(prefix, f"model.{idx}")))
             idx += 1
         idx += 1  # activation
         down = _conv_params(sd, _j(prefix, f"model.{idx}"))
         idx += 1
-        params["groups"].append(dict(res=res, down=down, ratio=ratio))
+        params["groups"].append(dict(res=res, down=down))
     if sn.lstm:
         params["lstm"] = _lstm_params(sd, _j(prefix, f"model.{idx}"), sn.lstm)
         idx += 1
@@ -149,9 +148,9 @@ def convert_seanet_decoder(sd: StateDict, prefix: str, cfg: CodecConfig) -> Dict
         idx += 1
         res = []
         for j in range(sn.n_residual_layers):
-            res.append(_resblock_params(sd, _j(prefix, f"model.{idx}"), sn.dilation_base ** j))
+            res.append(_resblock_params(sd, _j(prefix, f"model.{idx}")))
             idx += 1
-        params["groups"].append(dict(up=up, res=res, ratio=ratio))
+        params["groups"].append(dict(up=up, res=res))
     idx += 1  # activation
     params["conv_out"] = _conv_params(sd, _j(prefix, f"model.{idx}"))
     return params
