@@ -1,0 +1,205 @@
+"""Inference CLI: zero-shot speech editing and TTS.
+
+Mirrors the reference ``inference_v2.py`` argparse surface (:158-188):
+``--tts --language --aug_text --aug_context --cfg_coef --cfg_stride
+--use_watermark --sub_amount --prompt_length --top_k --top_p --temperature
+--stop_repetition --seed ...``.
+
+ASR + forced alignment (whisperx in the reference, inference_v2.py:56-94) is
+a host-side preprocessing step (SURVEY §2.6): provide it either through the
+gated ``utils.asr`` transformers-Whisper wrapper or precomputed with
+``--alignment_file`` (CSV ``word,start,end`` rows). Everything downstream —
+span diff, mask intervals, LM generation, watermark decode — runs here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import logging
+import time
+from typing import List, Tuple
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="SSR-Speech TPU inference")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--sub_amount", type=float, default=0.12,
+                   help="seconds to add around each edit span")
+    p.add_argument("--codec_sr", type=int, default=50)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=0.8)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--stop_repetition", type=int, default=2)
+    p.add_argument("--kvcache", type=int, default=1)
+    p.add_argument("--silence_tokens", type=int, nargs="*",
+                   default=[1388, 1898, 131])
+    p.add_argument("--cfg_coef", type=float, default=1.5)
+    p.add_argument("--cfg_stride", type=int, default=5)
+    p.add_argument("--aug_text", action="store_true")
+    p.add_argument("--aug_context", action="store_true")
+    p.add_argument("--cfg_pretrained", action="store_true")
+    p.add_argument("--use_watermark", action="store_true")
+    p.add_argument("--tts", action="store_true")
+    p.add_argument("--language", type=str, default="en", choices=["en", "zh"])
+    p.add_argument("--model_path", type=str, required=True,
+                   help="LM bundle (.pkl from our trainer or .pth reference bundle)")
+    p.add_argument("--codec_path", type=str, required=True,
+                   help="wmencodec checkpoint (.pkl ours or .th reference)")
+    p.add_argument("--orig_audio", type=str, required=True)
+    p.add_argument("--orig_transcript", type=str, default=None)
+    p.add_argument("--target_transcript", type=str, required=True)
+    p.add_argument("--alignment_file", type=str, default=None,
+                   help="CSV word,start,end (skips ASR)")
+    p.add_argument("--temp_folder", type=str, default="./temp")
+    p.add_argument("--output_dir", type=str, default="./out")
+    p.add_argument("--savename", type=str, default="output")
+    p.add_argument("--whisper_model", type=str, default=None,
+                   help="HF whisper id for on-host ASR+alignment")
+    p.add_argument("--prompt_length", type=float, default=3.0)
+    p.add_argument("--sample_batch_size", type=int, default=1)
+    return p
+
+
+def read_alignment(path: str) -> List[Tuple[str, float, float]]:
+    words = []
+    with open(path) as f:
+        for row in csv.reader(f):
+            if not row or row[0] in ("word", "BEGIN"):
+                continue
+            words.append((row[0], float(row[1]), float(row[2])))
+    return words
+
+
+def load_lm(path: str):
+    """Load an LM bundle: ours (.pkl) or the reference's torch bundle."""
+    from ..config import SSRModelConfig, TokenSpace
+    from ..models import convert as cvt
+    from ..utils import checkpoint as ckpt
+
+    if path.endswith((".pth", ".th", ".pt")):
+        import torch
+
+        bundle = torch.load(path, map_location="cpu", weights_only=False)
+        args = bundle["config"]
+        ns = vars(args) if not isinstance(args, dict) else args
+        cfg = SSRModelConfig(
+            d_model=ns["d_model"], nhead=ns["nhead"],
+            num_layers=ns["num_decoder_layers"],
+            n_codebooks=ns["n_codebooks"],
+            audio_embedding_dim=ns["audio_embedding_dim"],
+            text_vocab_size=ns["text_vocab_size"],
+            tokens=TokenSpace(audio_vocab_size=int(ns["audio_vocab_size"]),
+                              max_n_spans=ns["max_n_spans"]),
+        )
+        sd = {k: v.numpy() for k, v in bundle["model"].items()}
+        params = cvt.convert_ssr_lm(sd, cfg)
+        return params, cfg, bundle["phn2num"]
+    from ..config import ssr_config_from_json
+    import json
+
+    bundle = ckpt.load_bundle(path)
+    cfg = ssr_config_from_json(json.dumps(bundle["model_config"]))
+    return bundle["params"], cfg, bundle["phn2num"]
+
+
+def load_codec(path: str):
+    from ..config import CodecConfig
+    from ..data.tokenizer import AudioTokenizer
+    from ..models import convert as cvt
+    from ..utils import checkpoint as ckpt
+
+    cfg = CodecConfig()
+    if path.endswith((".th", ".pth", ".pt")):
+        sd = cvt.load_torch_file(path)
+        # audiocraft export wraps the state dict (checkpoint.py 'best_state')
+        for key in ("best_state", "model", "state_dict"):
+            if isinstance(sd, dict) and key in sd:
+                sd = sd[key]
+        params = cvt.convert_wmencodec(sd, cfg)
+    else:
+        params = ckpt.load_bundle(path)["params"]
+    return AudioTokenizer(params, cfg)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    t0 = time.time()
+
+    from ..config import DecodeConfig
+    from ..data.tokenizer import TextTokenizer
+    from ..utils import audio as audio_io
+    from . import edit as edit_mod
+    from . import pipeline
+
+    params, cfg, phn2num = load_lm(args.model_path)
+    audio_tok = load_codec(args.codec_path)
+    lang = "cmn" if args.language == "zh" else "en-us"
+    text_tok = TextTokenizer(language=lang)
+
+    # --- transcript + word alignment (host preprocessing) ---
+    if args.alignment_file:
+        words = read_alignment(args.alignment_file)
+    elif args.whisper_model:
+        from ..utils.asr import WhisperAligner
+
+        words = WhisperAligner(args.whisper_model).transcribe(args.orig_audio)
+    else:
+        raise SystemExit("need --alignment_file or --whisper_model")
+    orig_transcript = args.orig_transcript or " ".join(w for w, _, _ in words)
+
+    wav, sr = audio_io.read_wav(args.orig_audio)
+    audio_dur = wav.shape[-1] / sr
+
+    # --- edit spans -> codec-frame mask intervals ---
+    if args.language == "zh":
+        parse = edit_mod.parse_tts_zh if args.tts else edit_mod.parse_edit_zh
+    else:
+        parse = edit_mod.parse_tts_en if args.tts else edit_mod.parse_edit_en
+    spans = parse(orig_transcript, args.target_transcript)
+    if args.tts:
+        target_text = orig_transcript + " " + args.target_transcript \
+            if args.language == "en" else orig_transcript + args.target_transcript
+        n_words, cut = pipeline.cut_prompt_for_tts(words, args.prompt_length)
+        mask_intervals = [(int(cut * args.codec_sr), int(cut * args.codec_sr))]
+        # actually TTS masks from prompt end to audio end; reference cuts the
+        # audio at the prompt boundary and masks pure future
+        mask_intervals = [(int(cut * args.codec_sr),
+                           int(audio_dur * args.codec_sr))]
+    else:
+        target_text = args.target_transcript
+        mask_intervals = pipeline.spans_to_mask_intervals(
+            words, spans, audio_dur, args.codec_sr, args.sub_amount
+        )
+    logging.info("mask intervals (codec frames): %s", mask_intervals)
+
+    dec = DecodeConfig(
+        top_k=args.top_k, top_p=args.top_p, temperature=args.temperature,
+        stop_repetition=args.stop_repetition, kvcache=bool(args.kvcache),
+        silence_tokens=tuple(args.silence_tokens), cfg_coef=args.cfg_coef,
+        cfg_stride=args.cfg_stride, aug_text=args.aug_text,
+        aug_context=args.aug_context, cfg_pretrained=args.cfg_pretrained,
+        codec_sr=args.codec_sr, seed=args.seed,
+    )
+
+    import os
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i in range(args.sample_batch_size):
+        out = pipeline.inference_one_sample(
+            params, cfg, dec, phn2num, text_tok, audio_tok,
+            args.orig_audio, orig_transcript, target_text, mask_intervals,
+            use_watermark=args.use_watermark, tts=args.tts,
+            seed=args.seed + i,
+        )
+        name = f"{args.savename}_{i}.wav" if args.sample_batch_size > 1 else f"{args.savename}.wav"
+        audio_io.write_wav(os.path.join(args.output_dir, name),
+                           out[0, :, 0], audio_tok.sample_rate)
+    logging.info("Running time: %.2f s", time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()

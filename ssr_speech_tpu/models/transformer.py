@@ -224,22 +224,27 @@ def transformer_decode_step(
     banned = (~valid) | key_banned
     bias = jnp.where(banned, -1e9, 0.0).astype(jnp.float32)[:, None, None, :]  # [B,1,1,Tmax]
 
-    def body(carry, xs):
-        h = carry
-        lp, ck, cv = xs
+    # Python-unrolled layer loop with STATIC layer indices: each step writes
+    # only the new token's K/V ([B,H,1,Dh]) in place and reads the cache for
+    # attention. A lax.scan over layers would re-stack the whole cache as its
+    # ys every token (hundreds of MB of HBM writes per step — measured 2x
+    # step-time on v5e), so the hot decode path avoids it.
+    new_k, new_v = cache.k, cache.v
+    L = cfg.num_layers
+    for l in range(L):
+        lp = jax.tree.map(lambda a: a[l], params["layers"])
         hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"])
         qkv = hn @ lp["qkv_w"].astype(dtype) + lp["qkv_b"].astype(dtype)
         q, k, v = (_split_heads(t, nhead) for t in jnp.split(qkv, 3, axis=-1))
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, pos, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, pos, 0))
-        attn = _merge_heads(_attend(q, ck.astype(dtype), cv.astype(dtype), bias))
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k[None].astype(new_k.dtype), (l, 0, 0, pos, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v[None].astype(new_v.dtype), (l, 0, 0, pos, 0))
+        attn = _merge_heads(_attend(q, new_k[l].astype(dtype), new_v[l].astype(dtype), bias))
         attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
         h = h + attn
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
         ff = jax.nn.relu(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
         h = h + ff @ lp["ffn2_w"].astype(dtype) + lp["ffn2_b"].astype(dtype)
-        return h, (ck, cv)
-
-    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
     out = layer_norm(h, params["final_ln_w"], params["final_ln_b"])
     return out[:, 0, :], KVCache(new_k, new_v, pos + 1)
