@@ -1,0 +1,132 @@
+"""Codec GAN training stack tests: STFT/mel ops, losses, discriminator,
+balancer, and a full wmcompression train step on a tiny config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssr_speech_tpu.config import CodecConfig, RVQConfig, SEANetConfig
+from ssr_speech_tpu.models.codec import wmencodec as wm
+from ssr_speech_tpu.ops import stft as stft_ops
+from ssr_speech_tpu.training import codec_trainer, discriminators, losses as L
+
+TINY = CodecConfig(
+    sample_rate=16000,
+    seanet=SEANetConfig(dimension=16, n_filters=2, n_residual_layers=1,
+                        ratios=(8, 5, 4, 2), lstm=1, norm="weight_norm",
+                        pad_mode="constant"),
+    rvq=RVQConfig(dimension=16, n_q=2, bins=11),
+)
+
+
+def test_stft_matches_naive_dft():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 700)).astype(np.float32)
+    n_fft, hop = 128, 32
+    got = np.asarray(stft_ops.stft(jnp.asarray(x), n_fft, hop))
+    win = stft_ops.hann_window(n_fft)
+    n_frames = 1 + (700 - n_fft) // hop
+    assert got.shape == (2, n_fft // 2 + 1, n_frames)
+    for f in [0, 3, n_frames - 1]:
+        seg = x[:, f * hop:f * hop + n_fft] * win
+        want = np.fft.rfft(seg, axis=-1)
+        np.testing.assert_allclose(got[:, :, f], want, atol=1e-3, rtol=1e-4)
+
+
+def test_mel_filterbank_properties():
+    fb = stft_ops.mel_filterbank(16000, 512, 64, 64.0, None)
+    assert fb.shape == (257, 64)
+    assert (fb >= 0).all()
+    # every filter has some support
+    assert (fb.sum(axis=0) > 0).all()
+
+
+def test_mel_spectrogram_shapes_and_grad():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 2048, 1)).astype(np.float32))
+    mel = stft_ops.mel_spectrogram(x, 16000, 512, 128, 512, n_mels=32, log=True)
+    assert mel.shape[0] == 2 and mel.shape[1] == 32
+    assert np.isfinite(np.asarray(mel)).all()
+
+    def loss(x):
+        return jnp.sum(stft_ops.mel_spectrogram(x, 16000, 512, 128, 512,
+                                                n_mels=32, log=True) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_multiscale_mel_zero_for_identical():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 4096, 1)).astype(np.float32))
+    v = float(L.multiscale_mel_loss(x, x, 16000, range_start=6, range_end=9))
+    assert v == 0.0
+    y = x + 0.1
+    assert float(L.multiscale_mel_loss(x, y, 16000, range_start=6, range_end=9)) > 0
+
+
+def test_discriminator_shapes():
+    params = discriminators.init_msstftd(jax.random.PRNGKey(0), filters=4)
+    wav = jnp.asarray(np.random.default_rng(3).normal(size=(2, 4096, 1)),
+                      jnp.float32)
+    logits, fmaps = discriminators.msstftd_forward(params, wav)
+    assert len(logits) == len(discriminators.N_FFTS)
+    assert all(lg.shape[0] == 2 and lg.shape[-1] == 1 for lg in logits)
+    assert all(len(fm) == 5 for fm in fmaps)
+
+
+def test_balancer_scales_to_unit_norm():
+    state = L.init_balancer(["a", "b"])
+    g_a = jnp.ones((2, 8)) * 3.0
+    g_b = jnp.ones((2, 8)) * 0.5
+    losses = dict(a=jnp.asarray(1.0), b=jnp.asarray(1.0))
+    weights = dict(a=1.0, b=1.0)
+    cot, state, eff = L.balancer_cotangent(
+        state, dict(a=g_a, b=g_b), weights, losses, ema_decay=0.0
+    )
+    # each contribution rescaled to norm total_norm * ratio = 0.5
+    na = 0.5 / float(jnp.mean(jnp.sqrt(jnp.sum(g_a**2, axis=1))))
+    nb = 0.5 / float(jnp.mean(jnp.sqrt(jnp.sum(g_b**2, axis=1))))
+    want = g_a * na + g_b * nb
+    np.testing.assert_allclose(np.asarray(cot), np.asarray(want), rtol=1e-5)
+
+
+def test_codec_train_step_updates_only_wmdecoder():
+    key = jax.random.PRNGKey(0)
+    state, opts = codec_trainer.init_codec_train_state(key, TINY, lr=1e-3)
+    step = codec_trainer.make_codec_train_step(TINY, opts)
+    hop = TINY.hop_length
+    F = 8
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.normal(size=(2, F * hop, 1)) * 0.1, jnp.float32)
+    labels, keep = wm.sample_watermark_mask(rng, 2, F, hop, min_regions=1)
+    frozen_before = jax.tree.map(np.asarray, state.frozen)
+    wm_before = np.asarray(jax.tree.leaves(state.wm_params)[0])
+    new_state, metrics = step(state, wav, jnp.asarray(labels), jnp.asarray(keep))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    # wm decoder changed
+    wm_after = np.asarray(jax.tree.leaves(new_state.wm_params)[0])
+    assert not np.allclose(wm_before, wm_after)
+    # frozen stack untouched
+    for a, b in zip(jax.tree.leaves(frozen_before),
+                    jax.tree.leaves(jax.tree.map(np.asarray, new_state.frozen))):
+        np.testing.assert_array_equal(a, b)
+    # second step runs (balancer EMA state advances)
+    assert float(new_state.balancer.count) == 1.0
+    new_state2, m2 = step(new_state, wav, jnp.asarray(labels), jnp.asarray(keep))
+    assert float(new_state2.step) == 2
+
+
+def test_watermark_mask_sampler():
+    rng = np.random.default_rng(5)
+    labels, keep = wm.sample_watermark_mask(rng, 4, 20, 320, min_regions=1,
+                                            max_regions=2)
+    assert labels.shape == (4, 20) and keep.shape == (4, 20 * 320)
+    for b in range(4):
+        # keep is 0 exactly where labels upsampled are 1
+        up = np.repeat(labels[b], 320)
+        np.testing.assert_array_equal(keep[b] == 0.0, up == 1)
+        frac = labels[b].mean()
+        assert frac <= 0.81
