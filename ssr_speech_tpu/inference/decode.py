@@ -16,6 +16,11 @@ a python ``while True`` crossing host<->device every token) with a single
     loop feeds the next span's mask sentinel and keeps decoding with the same
     cache (the reference loops spans on host, ``models/ssr.py:646``).
 
+Compilation is shape-bucketed for serving: text/prefix lengths are padded to
+buckets with padded key positions masked, and the true lengths are traced
+scalars — a new utterance reuses the compiled program instead of retracing
+(the reference recompiles nothing but pays per-token python dispatch).
+
 Host-side pre/post (tiny int arrays): building the interleaved prefix
 (``ops.patterns.build_inference_prefix``) and reverting the delay pattern /
 splicing spans (``ops.patterns``).
@@ -38,6 +43,10 @@ from ..ops.sampling import top_k_top_p_filter
 
 NEG = -10000.0
 POS = 10000.0
+
+
+def _bucket(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 
 class GenState(NamedTuple):
@@ -70,7 +79,7 @@ def _embed_step_tokens(params, cfg: SSRModelConfig, tokens: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "dec", "num_task", "x_len", "cap_total", "aug_text", "dtype_name"),
+    static_argnames=("cfg", "dec", "num_task", "cap_total", "aug_text", "dtype_name"),
 )
 def _generate_impl(
     params,
@@ -78,11 +87,12 @@ def _generate_impl(
     key_banned: jnp.ndarray,
     rng: jax.Array,
     sentinel_ids: jnp.ndarray,  # [MAX_SPANS] int32
+    x_len: jnp.ndarray,  # scalar int32: true text length (traced, no retrace)
+    y_pos0: jnp.ndarray,  # scalar int32: audio position of the first sentinel
     *,
     cfg: SSRModelConfig,
     dec: DecodeConfig,
     num_task: int,
-    x_len: int,
     cap_total: int,
     aug_text: bool,
     dtype_name: str = "bfloat16",
@@ -210,9 +220,8 @@ def _generate_impl(
     init = GenState(
         cache=cache,
         key=rng,
-        # audio position of the first fed token = prefix length
-        # (the cache currently holds x_len + prefix_len positions)
-        y_pos=cache.length - x_len,
+        # audio position of the first fed token = true prefix length
+        y_pos=jnp.asarray(y_pos0, jnp.int32),
         next_tokens=jnp.full((K,), 0, jnp.int32) + sentinel_ids[0],
         out=jnp.full((K, cap_total), cfg.tokens.empty, jnp.int32),
         out_len=jnp.asarray(0, jnp.int32),
@@ -234,8 +243,10 @@ def _generate_impl(
 )
 def _prefill_impl(
     params,
-    x: jnp.ndarray,  # [B, Sx] exact-length text ids (rows: cond[, uncond])
-    y_prefix: jnp.ndarray,  # [K, P]
+    x: jnp.ndarray,  # [B, Sx_pad] text ids padded to a bucket
+    y_prefix: jnp.ndarray,  # [K, P_pad] prefix padded to a bucket
+    x_len: jnp.ndarray,  # scalar int32 true text length
+    p_len: jnp.ndarray,  # scalar int32 true prefix length
     *,
     cfg: SSRModelConfig,
     tmax: int,
@@ -243,6 +254,10 @@ def _prefill_impl(
     cfg_pretrained: bool = False,
     aug_text: bool = False,
 ):
+    """Fill the KV cache with [x ; y_prefix]. Padded x positions are banned as
+    keys forever; padded prefix tail slots hold garbage K/V but sit beyond
+    ``cache.length`` and are overwritten by subsequent decode steps before
+    they ever become attendable."""
     dtype = jnp.dtype(dtype_name)
     B, sx = x.shape
     P = y_prefix.shape[1]
@@ -260,17 +275,25 @@ def _prefill_impl(
     tri = idx[None, :] > idx[:, None]
     banned = jnp.logical_or(tri, (~is_y_col)[:, None] & is_y_col[None, :])
     banned = jnp.broadcast_to(banned, (B, s, s))
+    # text padding: positions [x_len, sx) never attendable
+    x_pad_keys = (idx >= x_len) & (idx < sx)
+    banned = banned | x_pad_keys[None, None, :]
+    key_banned = jnp.zeros((B, tmax), bool)
+    key_banned = key_banned | ((jnp.arange(tmax) >= x_len) & (jnp.arange(tmax) < sx))[None]
     # key ban for CFG-pretrained uncond row: only its first text token visible
     # (reference models/ssr.py:632-634)
-    key_banned = jnp.zeros((B, tmax), bool)
     if aug_text and cfg_pretrained:
         uncond_ban_keys = (idx >= 1) & (idx < sx)
         banned = banned.at[1].set(banned[1] | uncond_ban_keys[None, :])
         key_banned = key_banned.at[1, 1:sx].set(True)
+
     bias = jnp.where(banned, -1e9, 0.0)[:, None, :, :].astype(jnp.float32)
 
     cache = trf.init_kv_cache(cfg, B, tmax, dtype=dtype)
     _, cache = trf.transformer_prefill(params["decoder"], h, bias, cache, cfg, dtype=dtype)
+    # true fill point: padded-x block is length sx (slots stay banned), the
+    # prefix is only valid up to p_len
+    cache = cache._replace(length=jnp.asarray(sx, jnp.int32) + p_len)
     return cache, key_banned
 
 
@@ -288,6 +311,9 @@ def generate(
     prompt_y: Optional[np.ndarray] = None,
     tmax: Optional[int] = None,
     dtype_name: str = "bfloat16",
+    x_bucket: int = 64,
+    prefix_bucket: int = 128,
+    tmax_bucket: int = 512,
 ) -> Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]], List[Tuple[int, int]]]:
     """End-to-end span-infilling generation for one sample.
 
@@ -315,6 +341,7 @@ def generate(
         y = np.concatenate([prompt_y, y], axis=1)
         x = np.concatenate([np.asarray(prompt_x, np.int32), x])
         mask_intervals = [(s + out_len, e + out_len) for s, e in mask_intervals]
+
     prefix, mask_positions, num_task, nm = patterns.build_inference_prefix(
         y, mask_intervals, ts
     )
@@ -335,20 +362,30 @@ def generate(
         xb = x[None]
 
     x_len = int(x.shape[0])
-    cap_total = min(
-        dec.max_gen_per_span * num_task, dec.length_cap_mult * x_len + 64 * num_task
-    )
+    p_len = int(prefix.shape[1])
+    cap_total = dec.max_gen_per_span * num_task
+
+    # pad to compile-stable buckets
+    sx_pad = _bucket(max(x_len, 1), x_bucket)
+    p_pad = _bucket(max(p_len, 1), prefix_bucket)
+    xb_padded = np.full((xb.shape[0], sx_pad), cfg.text_pad_token, np.int32)
+    xb_padded[:, :x_len] = xb
+    prefix_padded = np.full((K, p_pad), ts.empty, np.int32)
+    prefix_padded[:, :p_len] = prefix
+
     if tmax is None:
-        tmax = x_len + prefix.shape[1] + cap_total + num_task + 8
+        tmax = _bucket(sx_pad + p_pad + cap_total + num_task + 8, tmax_bucket)
 
     cache, key_banned = _prefill_impl(
-        params, jnp.asarray(xb), jnp.asarray(prefix),
+        params, jnp.asarray(xb_padded), jnp.asarray(prefix_padded),
+        jnp.asarray(x_len, jnp.int32), jnp.asarray(p_len, jnp.int32),
         cfg=cfg, tmax=tmax, dtype_name=dtype_name,
         cfg_pretrained=dec.cfg_pretrained, aug_text=dec.aug_text,
     )
-    out, span_end, out_len = _generate_impl(
+    out, span_end, total_len = _generate_impl(
         params, cache, key_banned, rng, jnp.asarray(sentinels),
-        cfg=cfg, dec=dec, num_task=num_task, x_len=x_len,
+        jnp.asarray(x_len, jnp.int32), jnp.asarray(p_len, jnp.int32),
+        cfg=cfg, dec=dec, num_task=num_task,
         cap_total=cap_total, aug_text=dec.aug_text, dtype_name=dtype_name,
     )
     out = np.asarray(out)

@@ -79,7 +79,9 @@ def test_prefill_matches_full_forward(params):
 
     tmax = sx + P + 8
     cache, key_banned = decode._prefill_impl(
-        params, x, y_prefix, cfg=CFG, tmax=tmax, dtype_name="float32"
+        params, x, y_prefix,
+        jnp.asarray(sx, jnp.int32), jnp.asarray(P, jnp.int32),
+        cfg=CFG, tmax=tmax, dtype_name="float32",
     )
     assert int(cache.length) == sx + P
 
