@@ -188,15 +188,26 @@ def main(argv=None):
     import os
 
     os.makedirs(args.output_dir, exist_ok=True)
-    for i in range(args.sample_batch_size):
+    if args.sample_batch_size > 1:
+        # all seeds decoded in one compiled loop (vs the reference's
+        # sequential per-seed decodes, inference_v2.py:331-337)
+        outs = pipeline.inference_batch(
+            params, cfg, dec, phn2num, text_tok, audio_tok,
+            args.orig_audio, target_text, mask_intervals,
+            n_samples=args.sample_batch_size,
+            use_watermark=args.use_watermark, tts=args.tts, seed=args.seed,
+        )
+        for i, out in enumerate(outs):
+            audio_io.write_wav(
+                os.path.join(args.output_dir, f"{args.savename}_seed{args.seed + i}.wav"),
+                out[0, :, 0], audio_tok.sample_rate)
+    else:
         out = pipeline.inference_one_sample(
             params, cfg, dec, phn2num, text_tok, audio_tok,
             args.orig_audio, orig_transcript, target_text, mask_intervals,
-            use_watermark=args.use_watermark, tts=args.tts,
-            seed=args.seed + i,
+            use_watermark=args.use_watermark, tts=args.tts, seed=args.seed,
         )
-        name = f"{args.savename}_{i}.wav" if args.sample_batch_size > 1 else f"{args.savename}.wav"
-        audio_io.write_wav(os.path.join(args.output_dir, name),
+        audio_io.write_wav(os.path.join(args.output_dir, f"{args.savename}.wav"),
                            out[0, :, 0], audio_tok.sample_rate)
     logging.info("Running time: %.2f s", time.time() - t0)
 

@@ -239,7 +239,281 @@ def _generate_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "tmax", "dtype_name", "cfg_pretrained", "aug_text")
+    jax.jit,
+    static_argnames=("cfg", "dec", "num_task", "cap_total", "aug_text",
+                     "n_samples", "dtype_name"),
+)
+def _generate_batched_impl(
+    params,
+    cache: trf.KVCache,  # [L, B, H, T, Dh] with B = n_samples*(2 if aug else 1)
+    key_banned: jnp.ndarray,
+    rng: jax.Array,
+    sentinel_ids: jnp.ndarray,
+    x_len: jnp.ndarray,
+    y_pos0: jnp.ndarray,
+    *,
+    cfg: SSRModelConfig,
+    dec: DecodeConfig,
+    num_task: int,
+    cap_total: int,
+    aug_text: bool,
+    n_samples: int,
+    dtype_name: str = "bfloat16",
+):
+    """Seed-batched generation: S independent sampling chains over the same
+    prompt in ONE while-loop. The reference decodes ``sample_batch_size``
+    seeds sequentially (inference_v2.py:331-337); on TPU the weight reads
+    amortize across the batch, so S samples cost barely more than one.
+
+    Batch layout: rows [cond_0..cond_{S-1} ; uncond_0..uncond_{S-1}].
+    Returns (out [S, K, CAP], span_end [S, num_task], out_len [S]).
+    """
+    dtype = jnp.dtype(dtype_name)
+    S = n_samples
+    K = cfg.n_codebooks
+    ts = cfg.tokens
+    card = ts.cardinality
+    batch = cache.k.shape[1]
+    pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
+    rows = jnp.arange(K)[None, :, None]  # [1,K,1]
+    cols = jnp.arange(card)[None, None, :]
+    silence = jnp.asarray(dec.silence_tokens, jnp.int32)
+    length_cap = x_len * dec.length_cap_mult
+
+    static_ban = (cols == ts.eos) | (cols == ts.sos) | (
+        (cols >= ts.mts) & (cols < ts.mts + ts.max_n_spans)
+    )
+
+    class _S(NamedTuple):
+        cache: trf.KVCache
+        key: jax.Array
+        y_pos: jnp.ndarray  # scalar (all chains share positions)
+        next_tokens: jnp.ndarray  # [S, K]
+        out: jnp.ndarray  # [S, K, CAP]
+        out_len: jnp.ndarray  # [S]
+        span_idx: jnp.ndarray  # [S]
+        span_end: jnp.ndarray  # [S, num_task]
+        num_gen: jnp.ndarray  # [S]
+        num_eog: jnp.ndarray  # [S]
+        prev_token: jnp.ndarray  # [S]
+        consec_silence: jnp.ndarray  # [S]
+        num_cfg: jnp.ndarray  # [S]
+        done: jnp.ndarray  # [S] bool
+
+    def embed_rows(tokens, y_pos):
+        embs = params["audio_emb"]
+        h = 0.0
+        for k in range(cfg.n_codebooks):
+            h = h + embs[k][tokens[:, k]]  # [S, D]
+        h = h + params["audio_pos_alpha"][0] * jax.lax.dynamic_slice_in_dim(pe, y_pos, 1, 0)
+        if aug_text:
+            h = jnp.concatenate([h, h], axis=0)  # uncond rows share inputs
+        return h.astype(dtype)
+
+    def cond_fn(s):
+        return (~jnp.all(s.done)) & (jnp.max(s.out_len) < cap_total)
+
+    def body(s):
+        key, k_samp = jax.random.split(s.key)
+        h = embed_rows(s.next_tokens, s.y_pos)
+        out_h, cache = trf.transformer_decode_step(
+            params["decoder"], h, s.cache, key_banned, cfg, dtype=dtype
+        )
+        logits = ssr_model.predict_logits(params, out_h)  # [B, K, card]
+        if aug_text:
+            cond_l, uncond_l = logits[:S], logits[S:]
+            do_mix = (s.num_cfg == dec.cfg_stride)[:, None, None]
+            mixed = dec.cfg_coef * cond_l + (1.0 - dec.cfg_coef) * uncond_l
+            lg = jnp.where(do_mix, mixed, cond_l)  # [S, K, C]
+            num_cfg = jnp.where(s.num_cfg == dec.cfg_stride, 1, s.num_cfg + 1)
+        else:
+            lg = logits
+            num_cfg = s.num_cfg
+
+        lg = jnp.where(static_ban, NEG, lg)
+        force_empty = (rows > s.num_gen[:, None, None]) & (cols == ts.empty)
+        lg = jnp.where(force_empty, POS, lg)
+        in_cascade = (s.num_eog > 0)[:, None, None]
+        casc_ban = in_cascade & (rows > s.num_eog[:, None, None]) & (
+            (cols == ts.eog) | (cols == ts.empty))
+        noeog_ban = (~in_cascade) & (rows >= 1) & (cols == ts.eog)
+        lg = jnp.where(casc_ban | noeog_ban, NEG, lg)
+        if dec.stop_repetition > 0:
+            is_sil_prev = jnp.any(silence[None, :] == s.prev_token[:, None], axis=1)
+            apply_pen = (s.num_eog == 0) & is_sil_prev & (
+                s.consec_silence > dec.stop_repetition)
+            factor = (s.consec_silence - (dec.stop_repetition - 1)).astype(jnp.float32)
+            srow = jnp.arange(S)
+            prev_ix = jnp.clip(s.prev_token, 0, card - 1)
+            prev_logit = lg[srow, 0, prev_ix]
+            pen = jnp.where(prev_logit < 0, prev_logit * factor, prev_logit / factor)
+            lg = lg.at[srow, 0, prev_ix].set(jnp.where(apply_pen, pen, prev_logit))
+
+        lgt = lg / dec.temperature if dec.temperature != 1.0 else lg
+        lgt = top_k_top_p_filter(lgt, top_k=dec.top_k, top_p=dec.top_p)
+        samples = jax.random.categorical(k_samp, lgt, axis=-1).astype(jnp.int32)  # [S, K]
+
+        row_ids = jnp.arange(K)[None, :]
+        casc_samples = jnp.where(row_ids < s.num_eog[:, None], ts.empty, samples)
+        casc_samples = jnp.where(row_ids == s.num_eog[:, None], ts.eog, casc_samples)
+        too_long = (s.y_pos + 1) > length_cap
+        span_cap = s.num_gen >= (dec.max_gen_per_span - K)
+        argmax0 = jnp.argmax(lg[:, 0], axis=-1)
+        trigger = (samples[:, 0] == ts.eog) | (argmax0 == ts.eog) | too_long | span_cap
+        plain = samples.at[:, 0].set(jnp.where(trigger, ts.eog, samples[:, 0]))
+        in_casc1 = s.num_eog > 0
+        new_samples = jnp.where(in_casc1[:, None], casc_samples, plain)
+        num_eog = jnp.where(in_casc1, s.num_eog + 1, jnp.where(trigger, 1, 0))
+        s0 = plain[:, 0]
+        is_sil = jnp.any(silence[None, :] == s0[:, None], axis=1) & (s0 == s.prev_token)
+        consec = jnp.where(in_casc1, s.consec_silence,
+                           jnp.where(is_sil, s.consec_silence + 1, 0))
+        prev = jnp.where(in_casc1, s.prev_token, s0)
+
+        # frozen chains keep their previous values
+        active = ~s.done
+        write_samples = jnp.where(active[:, None], new_samples, ts.empty)
+        # scatter each chain's column at its own out_len
+        srow = jnp.arange(S)
+        out = s.out.at[srow[:, None], jnp.arange(K)[None, :],
+                       s.out_len[:, None]].set(
+            jnp.where(active[:, None], write_samples, s.out[srow[:, None],
+                      jnp.arange(K)[None, :], s.out_len[:, None]]))
+        out_len = jnp.where(active, s.out_len + 1, s.out_len)
+        num_gen = jnp.where(active, s.num_gen + 1, s.num_gen)
+
+        span_done = active & (num_eog == K)
+        span_end = jnp.where(
+            span_done[:, None]
+            & (jnp.arange(num_task)[None, :] == s.span_idx[:, None]),
+            out_len[:, None], s.span_end,
+        )
+        span_idx = jnp.where(span_done, s.span_idx + 1, s.span_idx)
+        done = s.done | (span_done & (span_idx >= num_task))
+        next_sent = sentinel_ids[jnp.minimum(span_idx, num_task - 1)]
+        next_tokens = jnp.where(span_done[:, None],
+                                jnp.broadcast_to(next_sent[:, None], (S, K)),
+                                new_samples)
+        num_gen = jnp.where(span_done, 0, num_gen)
+        num_eog = jnp.where(span_done, 0, num_eog)
+        num_eog = jnp.where(s.done, s.num_eog, num_eog)
+        prev = jnp.where(span_done, -1, jnp.where(s.done, s.prev_token, prev))
+        consec = jnp.where(span_done, 0, jnp.where(s.done, s.consec_silence, consec))
+        num_cfg = jnp.where(span_done, 1, jnp.where(s.done, s.num_cfg, num_cfg))
+        next_tokens = jnp.where(s.done[:, None], s.next_tokens, next_tokens)
+
+        return _S(cache=cache, key=key, y_pos=s.y_pos + 1,
+                  next_tokens=next_tokens, out=out, out_len=out_len,
+                  span_idx=span_idx, span_end=span_end, num_gen=num_gen,
+                  num_eog=num_eog, prev_token=prev, consec_silence=consec,
+                  num_cfg=num_cfg, done=done)
+
+    init = _S(
+        cache=cache, key=rng,
+        y_pos=jnp.asarray(y_pos0, jnp.int32),
+        next_tokens=jnp.broadcast_to(sentinel_ids[0], (S, K)).astype(jnp.int32),
+        out=jnp.full((S, K, cap_total), ts.empty, jnp.int32),
+        out_len=jnp.zeros((S,), jnp.int32),
+        span_idx=jnp.zeros((S,), jnp.int32),
+        span_end=jnp.zeros((S, num_task), jnp.int32),
+        num_gen=jnp.zeros((S,), jnp.int32),
+        num_eog=jnp.zeros((S,), jnp.int32),
+        prev_token=jnp.full((S,), -1, jnp.int32),
+        consec_silence=jnp.zeros((S,), jnp.int32),
+        num_cfg=jnp.ones((S,), jnp.int32),
+        done=jnp.zeros((S,), bool),
+    )
+    final = jax.lax.while_loop(cond_fn, body, init)
+    return final.out, final.span_end, final.out_len
+
+
+def generate_batch(
+    params,
+    cfg: SSRModelConfig,
+    dec: DecodeConfig,
+    x: np.ndarray,
+    y: np.ndarray,
+    mask_intervals: Sequence[Tuple[int, int]],
+    rng: jax.Array,
+    n_samples: int,
+    *,
+    uncond_x: Optional[np.ndarray] = None,
+    tmax: Optional[int] = None,
+    dtype_name: str = "bfloat16",
+    x_bucket: int = 64,
+    prefix_bucket: int = 128,
+    tmax_bucket: int = 512,
+) -> List[Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]], List[Tuple[int, int]]]]:
+    """Generate ``n_samples`` independent sampling chains for one prompt in a
+    single compiled loop. Returns a list of per-chain (codes, marks,
+    out_intervals, nm_intervals), same contract as :func:`generate`."""
+    ts = cfg.tokens
+    K = cfg.n_codebooks
+    x = np.asarray(x, np.int32)
+    y = np.asarray(y, np.int32)
+    prefix, _, num_task, nm = patterns.build_inference_prefix(y, mask_intervals, ts)
+    sentinels = np.arange(ts.mts, ts.mts + ts.max_n_spans, dtype=np.int32)
+
+    if dec.aug_text:
+        if uncond_x is None:
+            if dec.cfg_pretrained:
+                uncond_x = np.full_like(x, cfg.text_vocab_size - 1)
+            else:
+                uncond_x = np.asarray(jax.random.randint(
+                    jax.random.fold_in(rng, 7), x.shape, 0, cfg.n_text_tokens))
+        x_rows = [x] * n_samples + [uncond_x] * n_samples
+    else:
+        x_rows = [x] * n_samples
+    xb = np.stack(x_rows, axis=0)
+
+    x_len = int(x.shape[0])
+    p_len = int(prefix.shape[1])
+    cap_total = dec.max_gen_per_span * num_task
+    sx_pad = _bucket(max(x_len, 1), x_bucket)
+    p_pad = _bucket(max(p_len, 1), prefix_bucket)
+    xb_padded = np.full((xb.shape[0], sx_pad), cfg.text_pad_token, np.int32)
+    xb_padded[:, :x_len] = xb
+    prefix_padded = np.full((K, p_pad), ts.empty, np.int32)
+    prefix_padded[:, :p_len] = prefix
+    if tmax is None:
+        tmax = _bucket(sx_pad + p_pad + cap_total + num_task + 8, tmax_bucket)
+
+    cache, key_banned = _prefill_impl(
+        params, jnp.asarray(xb_padded), jnp.asarray(prefix_padded),
+        jnp.asarray(x_len, jnp.int32), jnp.asarray(p_len, jnp.int32),
+        cfg=cfg, tmax=tmax, dtype_name=dtype_name,
+        cfg_pretrained=dec.cfg_pretrained, aug_text=dec.aug_text,
+        uncond_row_start=n_samples if dec.aug_text else -1,
+    )
+    out, span_end, out_len = _generate_batched_impl(
+        params, cache, key_banned, rng, jnp.asarray(sentinels),
+        jnp.asarray(x_len, jnp.int32), jnp.asarray(p_len, jnp.int32),
+        cfg=cfg, dec=dec, num_task=num_task, cap_total=cap_total,
+        aug_text=dec.aug_text, n_samples=n_samples, dtype_name=dtype_name,
+    )
+    out = np.asarray(out)
+    span_end = np.asarray(span_end)
+
+    results = []
+    for s in range(n_samples):
+        gen_spans = []
+        start = 0
+        for i in range(num_task):
+            end = max(int(span_end[s, i]), start)
+            span = out[s, :, start:end]
+            start = end
+            if span.shape[1] >= K:
+                gen_spans.append(patterns.revert_delay_pattern(span)[:, :-1])
+            else:
+                gen_spans.append(np.zeros((K, 0), np.int32))
+        codes, marks, out_iv = patterns.splice_generated(y, nm, gen_spans, y.shape[1])
+        results.append((codes, marks, out_iv, nm))
+    return results
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tmax", "dtype_name", "cfg_pretrained",
+                              "aug_text", "uncond_row_start")
 )
 def _prefill_impl(
     params,
@@ -253,11 +527,13 @@ def _prefill_impl(
     dtype_name: str = "bfloat16",
     cfg_pretrained: bool = False,
     aug_text: bool = False,
+    uncond_row_start: int = 1,
 ):
     """Fill the KV cache with [x ; y_prefix]. Padded x positions are banned as
     keys forever; padded prefix tail slots hold garbage K/V but sit beyond
     ``cache.length`` and are overwritten by subsequent decode steps before
-    they ever become attendable."""
+    they ever become attendable. Rows [uncond_row_start, B) are the
+    CFG-unconditional rows (batched-seed layout stacks all cond rows first)."""
     dtype = jnp.dtype(dtype_name)
     B, sx = x.shape
     P = y_prefix.shape[1]
@@ -280,12 +556,13 @@ def _prefill_impl(
     banned = banned | x_pad_keys[None, None, :]
     key_banned = jnp.zeros((B, tmax), bool)
     key_banned = key_banned | ((jnp.arange(tmax) >= x_len) & (jnp.arange(tmax) < sx))[None]
-    # key ban for CFG-pretrained uncond row: only its first text token visible
-    # (reference models/ssr.py:632-634)
-    if aug_text and cfg_pretrained:
+    # key ban for CFG-pretrained uncond rows: only their first text token
+    # visible (reference models/ssr.py:632-634)
+    if aug_text and cfg_pretrained and uncond_row_start >= 0:
         uncond_ban_keys = (idx >= 1) & (idx < sx)
-        banned = banned.at[1].set(banned[1] | uncond_ban_keys[None, :])
-        key_banned = key_banned.at[1, 1:sx].set(True)
+        banned = banned.at[uncond_row_start:].set(
+            banned[uncond_row_start:] | uncond_ban_keys[None, None, :])
+        key_banned = key_banned.at[uncond_row_start:, 1:sx].set(True)
 
     bias = jnp.where(banned, -1e9, 0.0)[:, None, :, :].astype(jnp.float32)
 

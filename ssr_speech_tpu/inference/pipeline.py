@@ -142,6 +142,49 @@ def _encode(audio_tokenizer: AudioTokenizer, audio_path: str):
     return tokenize_audio(audio_tokenizer, audio_path)
 
 
+def inference_batch(
+    lm_params,
+    cfg: SSRModelConfig,
+    dec: DecodeConfig,
+    phn2num: Dict[str, int],
+    text_tokenizer: TextTokenizer,
+    audio_tokenizer: AudioTokenizer,
+    audio_path: str,
+    target_text: str,
+    mask_interval: Sequence[Span],
+    n_samples: int,
+    use_watermark: bool = True,
+    tts: bool = False,
+    seed: int = 1,
+) -> List[np.ndarray]:
+    """Decode ``n_samples`` seeds of the same prompt in ONE compiled loop
+    (replaces the reference's sequential per-seed decodes,
+    inference_v2.py:331-337). Returns a list of waveforms [1, T, 1]."""
+    x = text_to_ids(text_tokenizer, phn2num, target_text)
+    codes, _, wav = _encode(audio_tokenizer, audio_path)
+    y = codes[0]
+    results = decode_mod.generate_batch(
+        lm_params, cfg, dec, x, y, list(mask_interval),
+        jax.random.PRNGKey(seed), n_samples,
+    )
+    hop = audio_tokenizer.cfg.hop_length
+    outs = []
+    for out_codes, marks, out_intervals, nm in results:
+        if use_watermark:
+            new_wav = np.zeros((1, out_codes.shape[2] * hop, 1), np.float32)
+            for (os_, oe), (ns, ne) in zip(nm, out_intervals):
+                os_, ns = max(os_, 0), max(ns, 0)
+                seg = wav[0, os_ * hop:oe * hop]
+                new_wav[0, ns * hop:ns * hop + seg.shape[0]] = seg
+            out = audio_tokenizer.wmdecode(out_codes, marks, new_wav)
+        else:
+            out = audio_tokenizer.decode(out_codes)
+        if tts:
+            out = out[:, out_intervals[0][1] * hop:]
+        outs.append(out)
+    return outs
+
+
 def cut_prompt_for_tts(
     words: Sequence[WordTime], prompt_length: float
 ) -> Tuple[int, float]:
