@@ -84,16 +84,17 @@ class SpeechDataset:
         seg, _ = self.items[idx]
         pf = os.path.join(self.dcfg.dataset_dir, self.dcfg.phn_folder_name, seg + ".txt")
         ef = os.path.join(self.dcfg.dataset_dir, self.dcfg.encodec_folder_name, seg + ".txt")
+        from .. import native
+
         try:
             with open(pf) as p:
                 phns = p.read().strip()
             x = [self.phn2num[t] for t in phns.split(" ")
                  if t not in SYMBOL_SET and t in self.phn2num]
-            with open(ef) as e:
-                rows = [l.strip().split() for l in e.readlines()[: self.cfg.n_codebooks]]
-            if len(rows) != self.cfg.n_codebooks:
+            y = native.parse_int_matrix(ef, max_rows=self.cfg.n_codebooks)
+            if y is None or y.shape[0] != self.cfg.n_codebooks:
                 return None, None
-            y = np.asarray([[int(v) for v in r] for r in rows], np.int64)
+            y = y.astype(np.int64)
             if self.dcfg.special_first:
                 y = y + self.cfg.tokens.n_special
         except Exception as e:  # corrupt file -> drop (gigaspeech.py:59-62)

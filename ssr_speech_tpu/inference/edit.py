@@ -33,8 +33,19 @@ def align_ops(src: Sequence[str], dst: Sequence[str]) -> List[Tuple[int, int, st
 
     Tie-breaking follows the reference DP (deletion preferred over insertion
     over substitution when costs tie, edit_utils_en.py:29-39) so span output
-    is identical.
+    is identical. Uses the native C++ DP (``ssr_speech_tpu.native``) when
+    available; falls back to the numpy DP below.
     """
+    from .. import native
+
+    if native.available():
+        vocab = {}
+        ids = lambda toks: np.asarray(
+            [vocab.setdefault(t, len(vocab)) for t in toks], np.int32)
+        a, b = ids(src), ids(dst)
+        ops = native.levenshtein_ops(a, b)
+        if ops is not None:
+            return ops
     n, m = len(src), len(dst)
     dist = np.zeros((n + 1, m + 1), np.int32)
     back = np.zeros((n + 1, m + 1), np.int8)  # 0=diag, 1=del, 2=ins
