@@ -1,0 +1,124 @@
+"""Watermark-codec training entry point.
+
+Mirrors the reference flow ``dora run solver='compression/encodec_audiogen_16khz'``
+(README.md:282, ``audiocraft/audiocraft/train.py:124`` +
+``solvers/wmcompression.py``): load a trained (wm)encodec checkpoint, freeze
+encoder/decoder/quantizer, bootstrap the watermark decoder from the plain
+decoder/encoder weights (wmcompression.py:353-362), then run the GAN +
+watermark-CE loop of ``training.codec_trainer``.
+
+Example:
+  python -m ssr_speech_tpu.train_codec --manifest egs/train/data.jsonl \
+    --codec_path ckpt/encodec.th --exp_dir exp/wmcodec --updates 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+
+
+def bootstrap_wm_from_codec(params):
+    """Initialize the watermark decoder from the trained plain codec
+    (reference wmcompression.py:353-362): wmdecoder.model <- decoder,
+    wm_encoder/skip_encoder <- encoder."""
+    import copy
+
+    import jax
+
+    copy_tree = lambda t: jax.tree.map(lambda x: x, t)
+    wmd = params["wmdecoder"]
+    wmd["decoder"] = copy_tree(params["decoder"])
+    wmd["wm_encoder"] = copy_tree(params["encoder"])
+    wmd["skip_encoder"] = copy_tree(params["encoder"])
+    return params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("ssr_speech_tpu.train_codec")
+    p.add_argument("--manifest", required=True, help="jsonl of {path,duration}")
+    p.add_argument("--codec_path", default=None,
+                   help="pretrained (wm)encodec to start from (.th torch or .pkl)")
+    p.add_argument("--exp_dir", required=True)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--segment_duration", type=float, default=2.0)
+    p.add_argument("--updates", type=int, default=2000)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--ema_decay", type=float, default=0.99)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--eval_every", type=int, default=500)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    logger = logging.getLogger("train_codec")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import CodecConfig
+    from .data.audio_dataset import AudioSegmentDataset
+    from .models import convert as cvt
+    from .models.codec import wmencodec as wm
+    from .training import codec_trainer
+    from .utils import checkpoint as ckpt
+
+    cfg = CodecConfig()
+    pretrained = None
+    if args.codec_path:
+        if args.codec_path.endswith((".th", ".pth", ".pt")):
+            sd = cvt.load_torch_file(args.codec_path)
+            for key in ("best_state", "model", "state_dict"):
+                if isinstance(sd, dict) and key in sd:
+                    sd = sd[key]
+            pretrained = cvt.convert_wmencodec(sd, cfg)
+        else:
+            pretrained = ckpt.load_bundle(args.codec_path)["params"]
+        pretrained = bootstrap_wm_from_codec(pretrained)
+
+    state, opts = codec_trainer.init_codec_train_state(
+        jax.random.PRNGKey(args.seed), cfg, lr=args.lr, pretrained=pretrained
+    )
+    step_fn = codec_trainer.make_codec_train_step(cfg, opts, args.ema_decay)
+
+    ds = AudioSegmentDataset(args.manifest, cfg, args.segment_duration,
+                             seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+    os.makedirs(args.exp_dir, exist_ok=True)
+    hop = cfg.hop_length
+    frames = int(args.segment_duration * cfg.sample_rate) // hop
+
+    step = 0
+    for epoch in range(args.epochs):
+        for wav in ds.batches(args.batch_size, args.updates):
+            labels, keep = wm.sample_watermark_mask(rng, wav.shape[0], frames, hop)
+            state, metrics = step_fn(state, jnp.asarray(wav),
+                                     jnp.asarray(labels), jnp.asarray(keep))
+            step += 1
+            if step % 50 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                logger.info("epoch %d step %d %s", epoch, step,
+                            {k: round(v, 4) for k, v in m.items()})
+            if step % args.eval_every == 0:
+                wav_eval = jnp.asarray(next(ds.batches(args.batch_size, 1)))
+                sisnr = float(codec_trainer.evaluate_sisnr(state, cfg, wav_eval))
+                logger.info("eval si-snr %.2f dB", sisnr)
+            if step % args.save_every == 0:
+                full = dict(encoder=state.frozen["encoder"],
+                            decoder=state.frozen["decoder"],
+                            quantizer=state.frozen["quantizer"],
+                            wmdecoder=state.ema_params)
+                ckpt.save_bundle(
+                    os.path.join(args.exp_dir, "codec_bundle.pkl"),
+                    params=full,
+                    config=dataclasses.asdict(cfg),
+                    step=step,
+                )
+    logger.info("done: %d steps", step)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Smoke tests for the codec training CLI pieces: audio dataset, bootstrap,
+and one training update over real (synthetic) wav files."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from ssr_speech_tpu.config import CodecConfig, RVQConfig, SEANetConfig
+from ssr_speech_tpu.data.audio_dataset import AudioSegmentDataset
+from ssr_speech_tpu.models.codec import wmencodec as wm
+from ssr_speech_tpu.train_codec import bootstrap_wm_from_codec
+from ssr_speech_tpu.utils import audio as audio_io
+
+TINY = CodecConfig(
+    seanet=SEANetConfig(dimension=16, n_filters=2, n_residual_layers=1,
+                        ratios=(8, 5, 4, 2), lstm=1, norm="weight_norm",
+                        pad_mode="constant"),
+    rvq=RVQConfig(dimension=16, n_q=2, bins=11),
+)
+
+
+def make_manifest(tmp_path, n=3, dur=1.2):
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(n):
+        path = str(tmp_path / f"a{i}.wav")
+        t = int(16000 * dur)
+        audio_io.write_wav(path, (rng.normal(size=(1, t)) * 0.1).astype(np.float32), 16000)
+        lines.append(json.dumps({"path": path, "duration": dur, "sample_rate": 16000}))
+    mf = str(tmp_path / "data.jsonl")
+    with open(mf, "w") as f:
+        f.write("\n".join(lines))
+    return mf
+
+
+def test_audio_segment_dataset(tmp_path):
+    mf = make_manifest(tmp_path)
+    ds = AudioSegmentDataset(mf, TINY, segment_duration=0.5, seed=1)
+    assert len(ds) == 3
+    seg = ds.sample_segment()
+    assert seg.shape[0] % TINY.hop_length == 0
+    batches = list(ds.batches(2, 3))
+    assert len(batches) == 3
+    assert batches[0].shape == (2, seg.shape[0], 1)
+
+
+def test_audio_segment_short_file_padded(tmp_path):
+    mf = make_manifest(tmp_path, n=1, dur=0.1)
+    ds = AudioSegmentDataset(mf, TINY, segment_duration=1.0, seed=1,
+                             min_audio_duration=0.05)
+    seg = ds.sample_segment(0)
+    assert seg.shape[0] == ds.segment_samples
+    assert np.abs(seg[-100:]).max() == 0.0  # zero padded tail
+
+
+def test_bootstrap_wm_from_codec():
+    params = wm.init_wmencodec(jax.random.PRNGKey(0), TINY)
+    boot = bootstrap_wm_from_codec(params)
+    a = jax.tree.leaves(boot["wmdecoder"]["decoder"])
+    b = jax.tree.leaves(boot["decoder"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    c = jax.tree.leaves(boot["wmdecoder"]["wm_encoder"])
+    d = jax.tree.leaves(boot["encoder"])
+    for x, y in zip(c, d):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
