@@ -229,6 +229,64 @@ def scaled_adam(
     return optax.GradientTransformation(init, update)
 
 
+# ----------------------------------------------------------------------- Eve
+
+class _EveLeaf(NamedTuple):
+    exp_avg: jnp.ndarray
+    exp_avg_sq: jnp.ndarray
+
+
+class EveState(NamedTuple):
+    step: jnp.ndarray
+    leaves: Any
+
+
+def eve(schedule: Callable, betas=(0.9, 0.98), eps: float = 1e-8,
+        weight_decay: float = 1e-3, target_rms: float = 0.1
+        ) -> optax.GradientTransformation:
+    """Eve optimizer (reference steps/optim.py:836-983): AdamW whose weight
+    decay only applies while a tensor's RMS exceeds ``target_rms``; scalars
+    are never decayed. Kept for parity with 'scaled' icefall modules."""
+    beta1, beta2 = betas
+
+    def init(params):
+        leaves = jax.tree.map(
+            lambda p: _EveLeaf(jnp.zeros_like(p), jnp.zeros_like(p)), params
+        )
+        return EveState(jnp.zeros((), jnp.int32), leaves)
+
+    def update(grads, state: EveState, params=None):
+        assert params is not None
+        step = state.step + 1
+        lr = schedule(state.step)
+        bc1 = 1 - beta1 ** step.astype(jnp.float32)
+        bc2 = 1 - beta2 ** step.astype(jnp.float32)
+
+        def leaf(g, s: _EveLeaf, p):
+            g = g.astype(jnp.float32)
+            pf = p.astype(jnp.float32)
+            exp_avg = s.exp_avg * beta1 + (1 - beta1) * g
+            exp_avg_sq = s.exp_avg_sq * beta2 + (1 - beta2) * g * g
+            denom = jnp.sqrt(exp_avg_sq) * (bc2 ** -0.5) + eps
+            step_size = lr / bc1
+            new_p = pf
+            if p.size > 1:
+                above = jnp.linalg.norm(pf) > target_rms * (p.size ** 0.5)
+                new_p = new_p * (1 - weight_decay * above)
+            new_p = new_p - step_size * exp_avg / denom
+            return _LeafOut((new_p - pf).astype(p.dtype),
+                            _EveLeaf(exp_avg, exp_avg_sq))
+
+        out = jax.tree.map(leaf, grads, state.leaves, params,
+                           is_leaf=lambda x: isinstance(x, _EveLeaf))
+        is_out = lambda x: isinstance(x, _LeafOut)
+        updates = jax.tree.map(lambda o: o.update, out, is_leaf=is_out)
+        leaves = jax.tree.map(lambda o: o.state, out, is_leaf=is_out)
+        return updates, EveState(step, leaves)
+
+    return optax.GradientTransformation(init, update)
+
+
 # --------------------------------------------------------------------- AdamW
 
 def adamw(schedule: Callable, cfg: OptimConfig) -> optax.GradientTransformation:
@@ -252,4 +310,8 @@ def build_optimizer(cfg: OptimConfig, total_steps: int = 100000):
     if name == "adamw":
         sched = linear_warmup_schedule(cfg.lr, total_steps, cfg.warmup_fraction)
         return adamw(sched, cfg), sched
+    if name == "eve":
+        sched = linear_warmup_schedule(cfg.lr, total_steps, cfg.warmup_fraction)
+        return eve(sched, betas=cfg.betas, eps=cfg.eps,
+                   weight_decay=cfg.weight_decay), sched
     raise ValueError(cfg.optimizer_name)

@@ -35,6 +35,7 @@ from ..config import SSRModelConfig, TrainConfig, config_to_json
 from ..models import ssr as ssr_model
 from ..parallel import mesh as meshlib
 from ..utils import checkpoint as ckpt
+from ..utils.logging_utils import MetricsWriter
 from ..utils.metrics import AverageMeter
 from . import optim as optimlib
 
@@ -182,6 +183,7 @@ class Trainer:
         self.meters = {k: AverageMeter() for k in
                        ("train_loss", "train_top10acc", "data_time", "train_time")}
         self.total_step = total
+        self.writer = MetricsWriter(self.exp_dir)
 
     # ------------------------------------------------------------- loop
 
@@ -208,6 +210,14 @@ class Trainer:
                     self.meters["train_top10acc"].update(float(m["top10acc"]) / ntok)
                     self.meters["data_time"].update(data_end - data_start)
                     self.meters["train_time"].update(time.time() - data_end)
+                    self.writer.add_scalars(step, dict(
+                        lr=float(self.schedule(step)),
+                        loss=self.meters["train_loss"].val,
+                        top10acc=self.meters["train_top10acc"].val,
+                        ntokens=ntok, skipped=float(m["skipped"]),
+                        data_time=self.meters["data_time"].val,
+                        train_time=self.meters["train_time"].val,
+                    ), prefix="train/")
                     logger.info(
                         "step %d/%d lr %.6f loss %.4f (%.4f) top10acc %.4f skipped %.0f",
                         step, self.total_step, float(self.schedule(step)),
@@ -243,6 +253,8 @@ class Trainer:
         loss = tot[0] / max(tot[2], 1.0)
         logger.info("val loss %.4f top10acc %.4f ntokens %d",
                     loss, tot[1] / max(tot[2], 1.0), int(tot[2]))
+        self.writer.add_scalars(self.progress["step"], dict(
+            loss=loss, top10acc=tot[1] / max(tot[2], 1.0)), prefix="val/")
         return float(loss)
 
     def validate_and_save(self) -> bool:
@@ -289,3 +301,9 @@ class Trainer:
             )
         self.progress.update(bundle.get("progress", {}))
         self.phn2num = bundle.get("phn2num", self.phn2num)
+        # resume the batcher mid-epoch (reference trainer.py:347-348,
+        # trainer_utils.py:96-99 StatefulSampler.set_epoch_resume)
+        if hasattr(self.train_loader, "set_epoch_resume"):
+            self.train_loader.set_epoch_resume(
+                self.progress.get("epoch", 0), self.progress.get("cur_step", 0)
+            )
