@@ -84,10 +84,12 @@ def test_scaled_adam_matches_reference():
         size_update_period=4,
     )
 
+    # copy=True: jnp.asarray may zero-copy alias the torch buffer on CPU, and
+    # opt.step() mutates torch params in place
     jparams = {
-        "w": jnp.asarray(lin.weight.detach().numpy()),
-        "b": jnp.asarray(lin.bias.detach().numpy()),
-        "alpha": jnp.asarray(alpha.detach().numpy()),
+        "w": jnp.asarray(np.array(lin.weight.detach().numpy(), copy=True)),
+        "b": jnp.asarray(np.array(lin.bias.detach().numpy(), copy=True)),
+        "alpha": jnp.asarray(np.array(alpha.detach().numpy(), copy=True)),
     }
     cfg = OptimConfig(optimizer_name="scaledadam", lr=0.03, clipping_scale=None)
     sched = lambda step: 0.03
