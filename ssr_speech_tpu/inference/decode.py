@@ -79,7 +79,8 @@ def _embed_step_tokens(params, cfg: SSRModelConfig, tokens: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "dec", "num_task", "cap_total", "aug_text", "dtype_name"),
+    static_argnames=("cfg", "dec", "num_task", "cap_total", "aug_text",
+                     "dtype_name", "use_pallas"),
 )
 def _generate_impl(
     params,
@@ -96,6 +97,7 @@ def _generate_impl(
     cap_total: int,
     aug_text: bool,
     dtype_name: str = "bfloat16",
+    use_pallas: bool = False,
 ):
     dtype = jnp.dtype(dtype_name)
     K = cfg.n_codebooks
@@ -120,7 +122,8 @@ def _generate_impl(
         key, k_samp = jax.random.split(s.key)
         h = _embed_step_tokens(params, cfg, s.next_tokens, pe, s.y_pos, batch, dtype)
         out_h, cache = trf.transformer_decode_step(
-            params["decoder"], h, s.cache, key_banned, cfg, dtype=dtype
+            params["decoder"], h, s.cache, key_banned, cfg, dtype=dtype,
+            use_pallas=use_pallas,
         )
         logits = ssr_model.predict_logits(params, out_h)  # [B, K, card] f32
 
@@ -241,7 +244,7 @@ def _generate_impl(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "dec", "num_task", "cap_total", "aug_text",
-                     "n_samples", "dtype_name"),
+                     "n_samples", "dtype_name", "use_pallas"),
 )
 def _generate_batched_impl(
     params,
@@ -259,6 +262,7 @@ def _generate_batched_impl(
     aug_text: bool,
     n_samples: int,
     dtype_name: str = "bfloat16",
+    use_pallas: bool = False,
 ):
     """Seed-batched generation: S independent sampling chains over the same
     prompt in ONE while-loop. The reference decodes ``sample_batch_size``
@@ -317,7 +321,8 @@ def _generate_batched_impl(
         key, k_samp = jax.random.split(s.key)
         h = embed_rows(s.next_tokens, s.y_pos)
         out_h, cache = trf.transformer_decode_step(
-            params["decoder"], h, s.cache, key_banned, cfg, dtype=dtype
+            params["decoder"], h, s.cache, key_banned, cfg, dtype=dtype,
+            use_pallas=use_pallas,
         )
         logits = ssr_model.predict_logits(params, out_h)  # [B, K, card]
         if aug_text:
@@ -443,6 +448,7 @@ def generate_batch(
     x_bucket: int = 64,
     prefix_bucket: int = 128,
     tmax_bucket: int = 512,
+    use_pallas: Optional[bool] = None,
 ) -> List[Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]], List[Tuple[int, int]]]]:
     """Generate ``n_samples`` independent sampling chains for one prompt in a
     single compiled loop. Returns a list of per-chain (codes, marks,
@@ -485,11 +491,14 @@ def generate_batch(
         cfg_pretrained=dec.cfg_pretrained, aug_text=dec.aug_text,
         uncond_row_start=n_samples if dec.aug_text else -1,
     )
+    if use_pallas is None:
+        use_pallas = False
     out, span_end, out_len = _generate_batched_impl(
         params, cache, key_banned, rng, jnp.asarray(sentinels),
         jnp.asarray(x_len, jnp.int32), jnp.asarray(p_len, jnp.int32),
         cfg=cfg, dec=dec, num_task=num_task, cap_total=cap_total,
         aug_text=dec.aug_text, n_samples=n_samples, dtype_name=dtype_name,
+        use_pallas=use_pallas,
     )
     out = np.asarray(out)
     span_end = np.asarray(span_end)
@@ -554,15 +563,17 @@ def _prefill_impl(
     # text padding: positions [x_len, sx) never attendable
     x_pad_keys = (idx >= x_len) & (idx < sx)
     banned = banned | x_pad_keys[None, None, :]
-    key_banned = jnp.zeros((B, tmax), bool)
-    key_banned = key_banned | ((jnp.arange(tmax) >= x_len) & (jnp.arange(tmax) < sx))[None]
+    # banned key RANGES [lo, hi) per row for the decode steps
+    lo = jnp.full((B,), 0, jnp.int32) + x_len
+    hi = jnp.full((B,), sx, jnp.int32)
     # key ban for CFG-pretrained uncond rows: only their first text token
     # visible (reference models/ssr.py:632-634)
     if aug_text and cfg_pretrained and uncond_row_start >= 0:
         uncond_ban_keys = (idx >= 1) & (idx < sx)
         banned = banned.at[uncond_row_start:].set(
             banned[uncond_row_start:] | uncond_ban_keys[None, None, :])
-        key_banned = key_banned.at[uncond_row_start:, 1:sx].set(True)
+        lo = lo.at[uncond_row_start:].set(1)
+    key_banned = jnp.stack([lo, hi], axis=1)  # [B, 2]
 
     bias = jnp.where(banned, -1e9, 0.0)[:, None, :, :].astype(jnp.float32)
 
@@ -591,6 +602,7 @@ def generate(
     x_bucket: int = 64,
     prefix_bucket: int = 128,
     tmax_bucket: int = 512,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]], List[Tuple[int, int]]]:
     """End-to-end span-infilling generation for one sample.
 
@@ -659,11 +671,17 @@ def generate(
         cfg=cfg, tmax=tmax, dtype_name=dtype_name,
         cfg_pretrained=dec.cfg_pretrained, aug_text=dec.aug_text,
     )
+    if use_pallas is None:
+        # measured on v5e: the flash-decoding kernel matches the XLA path at
+        # tmax>=2048 and is ~6% slower at tmax 1024 (per-call overhead eats
+        # the DMA savings once tmax is bucketed tightly) — default off
+        use_pallas = False
     out, span_end, total_len = _generate_impl(
         params, cache, key_banned, rng, jnp.asarray(sentinels),
         jnp.asarray(x_len, jnp.int32), jnp.asarray(p_len, jnp.int32),
         cfg=cfg, dec=dec, num_task=num_task,
         cap_total=cap_total, aug_text=dec.aug_text, dtype_name=dtype_name,
+        use_pallas=use_pallas,
     )
     out = np.asarray(out)
     span_end = np.asarray(span_end)

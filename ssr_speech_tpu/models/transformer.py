@@ -206,13 +206,17 @@ def transformer_decode_step(
     cfg: SSRModelConfig,
     *,
     dtype=jnp.bfloat16,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One-token decode: h_t [B, D] at position cache.length.
 
-    key_banned: [B, Tmax] bool, True for key positions that must never be
-    attended (e.g. the CFG-unconditional row's padded text,
-    reference ``models/ssr.py:632-634``). Future positions are masked
-    automatically from ``cache.length``. Returns (out [B, D], cache + 1).
+    key_banned: [B, 2] int32 banned key RANGE [lo, hi) per batch row — text
+    padding and the CFG-unconditional row's hidden prompt (reference
+    ``models/ssr.py:632-634``). Future positions are masked automatically
+    from ``cache.length``. Returns (out [B, D], cache + 1).
+
+    use_pallas: route attention through the flash-decoding Pallas kernel
+    (``ops.decode_attention``) which DMAs only the valid cache prefix.
     """
     nhead = cfg.nhead
     b, d = h_t.shape
@@ -220,9 +224,14 @@ def transformer_decode_step(
     pos = cache.length
     h = h_t.astype(dtype)[:, None, :]  # [B, 1, D]
 
-    valid = jnp.arange(tmax)[None, :] <= pos  # [1, Tmax], key <= current pos
-    banned = (~valid) | key_banned
-    bias = jnp.where(banned, -1e9, 0.0).astype(jnp.float32)[:, None, None, :]  # [B,1,1,Tmax]
+    if not use_pallas:
+        idx = jnp.arange(tmax)[None, :]
+        banned = (idx > pos) | (
+            (idx >= key_banned[:, :1]) & (idx < key_banned[:, 1:2])
+        )
+        bias = jnp.where(banned, -1e9, 0.0).astype(jnp.float32)[:, None, None, :]
+    else:
+        from ..ops.decode_attention import decode_attention
 
     # Python-unrolled layer loop with STATIC layer indices: each step writes
     # only the new token's K/V ([B,H,1,Dh]) in place and reads the cache for
@@ -240,7 +249,14 @@ def transformer_decode_step(
             new_k, k[None].astype(new_k.dtype), (l, 0, 0, pos, 0))
         new_v = jax.lax.dynamic_update_slice(
             new_v, v[None].astype(new_v.dtype), (l, 0, 0, pos, 0))
-        attn = _merge_heads(_attend(q, new_k[l].astype(dtype), new_v[l].astype(dtype), bias))
+        if use_pallas:
+            attn_h = decode_attention(
+                q[:, :, 0, :], new_k[l], new_v[l], pos, key_banned
+            )  # [B, H, Dh]
+            attn = attn_h.reshape(b, 1, d).astype(dtype)
+        else:
+            attn = _merge_heads(
+                _attend(q, new_k[l].astype(dtype), new_v[l].astype(dtype), bias))
         attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
         h = h + attn
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])

@@ -1,0 +1,160 @@
+"""Pallas flash-decoding attention for the AR decode step.
+
+The XLA decode path reads the FULL preallocated KV cache [B, H, Tmax, Dh]
+every token even when only ``pos+1`` positions are valid — at Tmax 2048 and
+bf16 that is ~0.5 GB of dead HBM traffic per 830M-model step. This kernel
+keeps K/V in HBM (``pl.ANY``) and manually DMAs only ``ceil((pos+1)/CHUNK)``
+chunks per batch row, accumulating the attention online (flash style:
+running max ``m``, normalizer ``l``, weighted accumulator ``acc``),
+double-buffered so the next chunk's DMA overlaps the current chunk's compute.
+
+Key masking matches ``transformer_decode_step``:
+  - positions > pos are invalid (their chunks are never DMA'd at all),
+  - a per-row banned range [ban_start, ban_end) covers text padding and the
+    CFG-unconditional row's hidden prompt (reference models/ssr.py:632-634).
+
+Grid: one program per batch row; the head dim stays whole in VMEM
+([H, C, Dh] tiles: H=16, C=256, Dh=128 bf16 = 1 MB per buffer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_CHUNK = 256
+
+
+def _make_kernel(chunk: int, scale: float):
+    def kernel(
+        pos_ref,  # prefetched scalars [1] int32
+        ban_ref,  # prefetched scalars [B, 2] int32
+        q_ref,  # VMEM [1, H, Dh] (this row's query)
+        k_hbm,  # ANY [B, H, T, Dh]
+        v_hbm,  # ANY [B, H, T, Dh]
+        o_ref,  # VMEM [1, H, Dh]
+        k_buf,  # VMEM scratch [2, H, C, Dh]
+        v_buf,  # VMEM scratch [2, H, C, Dh]
+        sems,  # DMA semaphores [2, 2]
+    ):
+        i = pl.program_id(0)
+        h, dh = q_ref.shape[1], q_ref.shape[2]
+        pos = pos_ref[0]
+        ban_lo = ban_ref[i, 0]
+        ban_hi = ban_ref[i, 1]
+        n_chunks = (pos + 1 + chunk - 1) // chunk  # dynamic trip count
+
+        def k_dma(slot, c):
+            return pltpu.make_async_copy(
+                k_hbm.at[i, :, pl.ds(c * chunk, chunk), :], k_buf.at[slot],
+                sems.at[slot, 0],
+            )
+
+        def v_dma(slot, c):
+            return pltpu.make_async_copy(
+                v_hbm.at[i, :, pl.ds(c * chunk, chunk), :], v_buf.at[slot],
+                sems.at[slot, 1],
+            )
+
+        k_dma(0, 0).start()
+        v_dma(0, 0).start()
+
+        q = q_ref[0].astype(jnp.float32) * scale  # [H, Dh]
+
+        def body(c, carry):
+            m, l, acc = carry  # [H,1], [H,1], [H,Dh]
+            slot = c % 2
+            nxt = (c + 1) % 2
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                k_dma(nxt, c + 1).start()
+                v_dma(nxt, c + 1).start()
+
+            k_dma(slot, c).wait()
+            v_dma(slot, c).wait()
+
+            # Mosaic's dot lowering is 2-D only (no batch dims), so the
+            # per-head matvecs are expressed as VPU multiply-reduce: the
+            # kernel is HBM-bandwidth bound, not FLOP bound.
+            k = k_buf[slot].astype(jnp.float32)  # [H, C, Dh]
+            v = v_buf[slot].astype(jnp.float32)
+            s = jnp.sum(q[:, None, :] * k, axis=-1)  # [H, C]
+            idx = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (h, chunk), 1)
+            invalid = (idx > pos) | ((idx >= ban_lo) & (idx < ban_hi))
+            s = jnp.where(invalid, -1e30, s)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)  # [H, C]
+            corr = jnp.exp(m - m_new)  # [H,1]
+            l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+            pv = jnp.sum(p[:, :, None] * v, axis=1)  # [H, Dh]
+            return m_new, l_new, acc * corr + pv
+
+        m0 = jnp.full((h, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((h, 1), jnp.float32)
+        acc0 = jnp.zeros((h, dh), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def decode_attention(
+    q: jnp.ndarray,  # [B, H, Dh] single-token queries
+    k: jnp.ndarray,  # [B, H, T, Dh] cache keys
+    v: jnp.ndarray,  # [B, H, T, Dh] cache values
+    pos: jnp.ndarray,  # scalar int32: last valid position (inclusive)
+    ban: jnp.ndarray,  # [B, 2] int32 banned key range per row
+    *,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [B, H, Dh] attention outputs reading only valid cache chunks."""
+    b, h, t, dh = k.shape
+    assert t % chunk == 0, (t, chunk)
+    scale = 1.0 / (dh ** 0.5)
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, h, chunk, dh), k.dtype),
+            pltpu.VMEM((2, h, chunk, dh), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_kernel(chunk, scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(pos_arr, ban.astype(jnp.int32), q, k, v)
+    return out
+
+
+def decode_attention_reference(q, k, v, pos, ban):
+    """jnp reference for tests: same masking, full-cache read."""
+    b, h, t, dh = k.shape
+    scale = 1.0 / (dh ** 0.5)
+    s = jnp.einsum("bhd,bhtd->bht", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32))
+    idx = jnp.arange(t)[None, :]
+    invalid = (idx > pos) | ((idx >= ban[:, :1]) & (idx < ban[:, 1:2]))
+    s = jnp.where(invalid[:, None, :], -1e30, s)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bht,bhtd->bhd", p, v.astype(jnp.float32)).astype(q.dtype)
