@@ -19,6 +19,7 @@ from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import stft as stft_ops
 
@@ -105,3 +106,144 @@ def msstftd_forward(params: Params, wav: jnp.ndarray
         logits.append(lg)
         fmaps.append(fm)
     return logits, fmaps
+
+
+# --------------------------------------------------------------- MSD / MPD
+
+def _init_conv1d(key, cin, cout, k, groups=1) -> Params:
+    kkey, bkey = jax.random.split(key)
+    fan_in = (cin // groups) * k
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(kkey, (k, cin // groups, cout), jnp.float32, -bound, bound)
+    g = jnp.sqrt(jnp.sum(w * w, axis=(0, 1), keepdims=True))
+    b = jax.random.uniform(bkey, (cout,), jnp.float32, -bound, bound)
+    return dict(v=w, g=g, b=b)
+
+
+def _conv1d_wn(p: Params, x: jnp.ndarray, stride=1, padding=0,
+               groups: int = 1) -> jnp.ndarray:
+    """x [B, T, C] weight-normed grouped conv1d ('same'-style static pad)."""
+    v, g = p["v"], p["g"]
+    norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
+    w = g * v / norm
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride,), [(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    return y + p["b"]
+
+
+def _msd_layout(filters=16, max_filters=1024, downsample_scales=(4, 4, 4, 4),
+                kernel_sizes=(5, 3)):
+    """Static (cin, cout, k, stride, pad, groups) per layer of one scale."""
+    layers = [(1, filters, int(np.prod(kernel_sizes)), 1,
+               (int(np.prod(kernel_sizes)) - 1) // 2, 1)]
+    in_chs = filters
+    for scale in downsample_scales:
+        out_chs = min(in_chs * scale, max_filters)
+        k = scale * 10 + 1
+        layers.append((in_chs, out_chs, k, scale, (k - 1) // 2, in_chs // 4))
+        in_chs = out_chs
+    out_chs = min(in_chs * 2, max_filters)
+    layers.append((in_chs, out_chs, kernel_sizes[0], 1,
+                   (kernel_sizes[0] - 1) // 2, 1))
+    post = (out_chs, 1, kernel_sizes[1], 1, (kernel_sizes[1] - 1) // 2, 1)
+    return layers, post
+
+
+def init_msd(key, n_scales: int = 3) -> Params:
+    """Multi-Scale waveform discriminator (reference
+    adversarial/discriminators/msd.py:17-120; config msd section: filters 16,
+    inner groups cin//4, downsample scales 4,4,4,4)."""
+    layers, post = _msd_layout()
+    subs = []
+    for sk in jax.random.split(key, n_scales):
+        ks = jax.random.split(sk, len(layers) + 1)
+        convs = [_init_conv1d(ks[i], cin, cout, k, groups=gr)
+                 for i, (cin, cout, k, _, _, gr) in enumerate(layers)]
+        subs.append(dict(convs=convs,
+                         post=_init_conv1d(ks[-1], post[0], post[1], post[2])))
+    return dict(subs=subs)
+
+
+def msd_forward(params: Params, wav: jnp.ndarray):
+    """wav [B, T, C]; scale i sees the waveform avg-pooled i times
+    (msd.py:113-120, AvgPool1d(4, stride 2, pad 2))."""
+    layers, post = _msd_layout()
+    x = wav if wav.ndim == 3 else wav[..., None]
+    logits, fmaps = [], []
+    for i, sub in enumerate(params["subs"]):
+        if i > 0:
+            xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0)))
+            x = jax.lax.reduce_window(
+                xp, 0.0, jax.lax.add, (1, 4, 1), (1, 2, 1), "VALID") / 4.0
+        h = x
+        fm = []
+        for p, (_, _, _, stride, pad, gr) in zip(sub["convs"], layers):
+            h = jax.nn.leaky_relu(_conv1d_wn(p, h, stride, pad, gr), 0.2)
+            fm.append(h)
+        lg = _conv1d_wn(sub["post"], h, post[3], post[4])
+        fm.append(lg)
+        logits.append(lg)
+        fmaps.append(fm)
+    return logits, fmaps
+
+
+MPD_PERIODS = (2, 3, 5, 7, 11)
+
+
+def init_mpd(key, periods=MPD_PERIODS, n_layers: int = 5,
+             kernel_sizes=(5, 3), filters: int = 8,
+             filters_scale: int = 4, max_filters: int = 1024) -> Params:
+    """Multi-Period discriminator (reference mpd.py:20-110; config mpd:
+    filters 8, scale 4, 5 layers, stride 3)."""
+    subs = []
+    for sk in jax.random.split(key, len(periods)):
+        ks = jax.random.split(sk, n_layers + 1)
+        convs = []
+        in_chs = 1
+        for i in range(n_layers):
+            out_chs = min(filters * (filters_scale ** (i + 1)), max_filters)
+            convs.append(_init_conv2d(ks[i], in_chs, out_chs, kernel_sizes[0], 1))
+            in_chs = out_chs
+        subs.append(dict(convs=convs,
+                         post=_init_conv2d(ks[-1], in_chs, 1, kernel_sizes[1], 1)))
+    return dict(subs=subs)
+
+
+def mpd_forward(params: Params, wav: jnp.ndarray, periods=MPD_PERIODS,
+                stride: int = 3):
+    """wav [B, T, C] -> per-period logits/fmaps; 1d signal folded to 2d
+    [t/period, period] (mpd.py:58-75); last conv layer uses stride 1."""
+    x0 = wav[..., 0] if wav.ndim == 3 else wav
+    logits, fmaps = [], []
+    for period, sub in zip(periods, params["subs"]):
+        b, t = x0.shape
+        n_pad = (period - t % period) % period
+        x = jnp.pad(x0, ((0, 0), (0, n_pad)), mode="reflect") if n_pad else x0
+        h = x.reshape(b, -1, period, 1)  # [B, t/p, p, C=1] (NHWC)
+        fm = []
+        n = len(sub["convs"])
+        for i, p in enumerate(sub["convs"]):
+            eff_stride = 1 if i == n - 1 else stride
+            h = jax.nn.leaky_relu(_conv2d(p, h, stride=(eff_stride, 1)), 0.2)
+            fm.append(h)
+        lg = _conv2d(sub["post"], h)
+        fm.append(lg)
+        logits.append(lg)
+        fmaps.append(fm)
+    return logits, fmaps
+
+
+def get_adversary(name: str, key, **kwargs):
+    """Adversary registry (reference solvers/builders.py:202-240):
+    returns (params, forward_fn)."""
+    if name == "msstftd":
+        return init_msstftd(key, **kwargs), msstftd_forward
+    if name == "msd":
+        return init_msd(key, **kwargs), msd_forward
+    if name == "mpd":
+        return init_mpd(key, **kwargs), mpd_forward
+    raise ValueError(name)

@@ -130,3 +130,25 @@ def test_watermark_mask_sampler():
         np.testing.assert_array_equal(keep[b] == 0.0, up == 1)
         frac = labels[b].mean()
         assert frac <= 0.81
+
+
+def test_msd_mpd_discriminators():
+    from ssr_speech_tpu.training.discriminators import (
+        get_adversary, init_mpd, init_msd, mpd_forward, msd_forward,
+    )
+
+    rng = np.random.default_rng(7)
+    wav = jnp.asarray(rng.normal(size=(2, 6400, 1)) * 0.1, jnp.float32)
+    msd = init_msd(jax.random.PRNGKey(0))
+    logits, fmaps = msd_forward(msd, wav)
+    assert len(logits) == 3 and len(fmaps[0]) == 7
+    assert all(np.isfinite(np.asarray(l)).all() for l in logits)
+
+    mpd = init_mpd(jax.random.PRNGKey(1))
+    logits, fmaps = mpd_forward(mpd, wav)
+    assert len(logits) == 5 and len(fmaps[0]) == 6
+    assert all(np.isfinite(np.asarray(l)).all() for l in logits)
+
+    params, fwd = get_adversary("msstftd", jax.random.PRNGKey(2), filters=4)
+    lg, _ = fwd(params, wav)
+    assert len(lg) == 5
