@@ -176,6 +176,139 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99)
     return train_step
 
 
+def make_compression_train_step(cfg: CodecConfig, optimizers,
+                                straight_through: bool = True):
+    """Plain EnCodec trainer step (reference ``solvers/compression.py:27``):
+    same adversarial + reconstruction losses, no watermark head, training the
+    autoencoder itself.
+
+    Note: this fork's quantizer has both the EMA codebook update and the
+    straight-through estimator commented out (core_vq.py:205-217, :316-318),
+    which blocks encoder gradients entirely; ``straight_through=True``
+    restores the standard ST estimator so encoder+decoder train — set False
+    for strict reference behavior (decoder-only gradients).
+    """
+    g_opt_t, d_opt_t = optimizers
+    sr = cfg.sample_rate
+    sn = cfg.seanet
+
+    @jax.jit
+    def train_step(state: CodecTrainState, wav: jnp.ndarray):
+        x = wav
+
+        trainable = dict(encoder=state.frozen["encoder"],
+                         decoder=state.frozen["decoder"])
+        quantizer = state.frozen["quantizer"]
+
+        def model_fn(tp):
+            emb = seanet.encode(tp["encoder"], x, sn)
+            latents, _ = q.rvq_quantize(quantizer, emb)
+            if straight_through:
+                latents = emb + jax.lax.stop_gradient(latents - emb)
+            else:
+                latents = jax.lax.stop_gradient(latents)
+            y_pred = seanet.decode(tp["decoder"], latents, sn)
+            return y_pred[:, : x.shape[1]]
+
+        y_pred, vjp_fn = jax.vjp(model_fn, trainable)
+
+        def adv_fn(yp):
+            logits_f, fmaps_f = disc_mod.msstftd_forward(state.disc_params, yp)
+            _, fmaps_r = disc_mod.msstftd_forward(state.disc_params, x)
+            adv = sum(L.hinge_gen_loss(lg) for lg in logits_f) / len(logits_f)
+            feat = sum(L.feature_matching_loss(ff, fr)
+                       for ff, fr in zip(fmaps_f, fmaps_r)) / len(fmaps_f)
+            return adv, feat
+
+        (adv_v, feat_v), adv_vjp = jax.vjp(adv_fn, y_pred)
+        g_adv, = adv_vjp((jnp.ones(()), jnp.zeros(())))
+        g_feat, = adv_vjp((jnp.zeros(()), jnp.ones(())))
+        l1_v, g_l1 = jax.value_and_grad(lambda yp: L.l1_loss(yp, x))(y_pred)
+        ms_v, g_ms = jax.value_and_grad(
+            lambda yp: L.multiscale_mel_loss(yp, x, sr))(y_pred)
+        losses = dict(adv=adv_v, feat=feat_v, l1=l1_v, msspec=ms_v)
+        grads_out = dict(adv=g_adv, feat=g_feat, l1=g_l1, msspec=g_ms)
+        cot, new_bal, g_loss = L.balancer_cotangent(
+            state.balancer, grads_out, BALANCE_WEIGHTS, losses)
+        g_tr, = vjp_fn(cot)
+
+        # reuse the generator optimizer state on the (encoder, decoder) tree
+        g_updates, new_g_opt = g_opt_t.update(g_tr, state.g_opt, trainable)
+        new_tr = optax.apply_updates(trainable, g_updates)
+
+        y_det = jax.lax.stop_gradient(y_pred)
+
+        def d_loss_fn(dp):
+            logits_f, _ = disc_mod.msstftd_forward(dp, y_det)
+            logits_r, _ = disc_mod.msstftd_forward(dp, x)
+            loss = sum(L.hinge_fake_loss(lf) + L.hinge_real_loss(lr_)
+                       for lf, lr_ in zip(logits_f, logits_r))
+            return loss / len(logits_f)
+
+        d_loss, g_d = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        d_updates, new_d_opt = d_opt_t.update(g_d, state.d_opt, state.disc_params)
+        new_disc = optax.apply_updates(state.disc_params, d_updates)
+
+        new_frozen = dict(encoder=new_tr["encoder"], decoder=new_tr["decoder"],
+                          quantizer=quantizer)
+        metrics = dict(d_loss=d_loss, g_loss=g_loss, adv=adv_v, feat=feat_v,
+                       l1=l1_v, msspec=ms_v)
+        new_state = CodecTrainState(
+            wm_params=state.wm_params, frozen=new_frozen, disc_params=new_disc,
+            g_opt=new_g_opt, d_opt=new_d_opt, balancer=new_bal,
+            ema_params=state.ema_params, step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def init_compression_train_state(key, cfg: CodecConfig, lr: float = 5e-4,
+                                 pretrained=None):
+    """State for the plain-codec trainer: generator optimizer tracks the
+    (encoder, decoder) tree."""
+    k1, k2 = jax.random.split(key)
+    params = pretrained if pretrained is not None else wm.init_wmencodec(k1, cfg)
+    frozen = dict(encoder=params["encoder"], decoder=params["decoder"],
+                  quantizer=params["quantizer"])
+    disc_params = disc_mod.init_msstftd(k2)
+    g_opt_t, d_opt_t = make_optimizers(lr)
+    trainable = dict(encoder=frozen["encoder"], decoder=frozen["decoder"])
+    state = CodecTrainState(
+        wm_params=params["wmdecoder"], frozen=frozen, disc_params=disc_params,
+        g_opt=g_opt_t.init(trainable), d_opt=d_opt_t.init(disc_params),
+        balancer=L.init_balancer(list(BALANCE_WEIGHTS)),
+        ema_params=jax.tree.map(jnp.copy, params["wmdecoder"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, (g_opt_t, d_opt_t)
+
+
+def kmeans_init_codebooks(key, cfg: CodecConfig, embeddings: jnp.ndarray,
+                          iters: int = 50) -> jnp.ndarray:
+    """k-means codebook initialization from encoder embeddings
+    (reference core_vq.py:53-75, kmeans_init=true, 50 iters). Residual
+    stages are initialized on the successive residuals.
+    embeddings: [N, D] -> codebooks [n_q, bins, D]."""
+    n_q, bins, d = cfg.rvq.n_q, cfg.rvq.bins, cfg.rvq.dimension
+    resid = embeddings.astype(jnp.float32)
+    books = []
+    for qi in range(n_q):
+        key, sub = jax.random.split(key)
+        idx = jax.random.choice(sub, resid.shape[0], (bins,), replace=False)
+        means = resid[idx]
+        for _ in range(iters):
+            assign = q.nearest_code(means, resid)
+            one_hot = jax.nn.one_hot(assign, bins, dtype=jnp.float32)
+            counts = one_hot.sum(0)
+            sums = one_hot.T @ resid
+            new_means = sums / jnp.maximum(counts[:, None], 1.0)
+            means = jnp.where(counts[:, None] > 0, new_means, means)
+        books.append(means)
+        resid = resid - means[q.nearest_code(means, resid)]
+    return jnp.stack(books)
+
+
 def evaluate_sisnr(state: CodecTrainState, cfg: CodecConfig,
                    wav: jnp.ndarray) -> jnp.ndarray:
     """Eval-stage SI-SNR of the watermark reconstruction

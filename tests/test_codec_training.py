@@ -152,3 +152,34 @@ def test_msd_mpd_discriminators():
     params, fwd = get_adversary("msstftd", jax.random.PRNGKey(2), filters=4)
     lg, _ = fwd(params, wav)
     assert len(lg) == 5
+
+
+def test_compression_train_step_trains_autoencoder():
+    key = jax.random.PRNGKey(2)
+    state, opts = codec_trainer.init_compression_train_state(key, TINY, lr=1e-3)
+    step = codec_trainer.make_compression_train_step(TINY, opts)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.normal(size=(2, 8 * TINY.hop_length, 1)) * 0.1,
+                      jnp.float32)
+    enc_before = np.asarray(jax.tree.leaves(state.frozen["encoder"])[0])
+    dec_before = np.asarray(jax.tree.leaves(state.frozen["decoder"])[0])
+    new_state, metrics = step(state, wav)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert not np.allclose(enc_before,
+                           np.asarray(jax.tree.leaves(new_state.frozen["encoder"])[0]))
+    assert not np.allclose(dec_before,
+                           np.asarray(jax.tree.leaves(new_state.frozen["decoder"])[0]))
+    # quantizer codebooks stay frozen (reference core_vq.py:205-217)
+    np.testing.assert_array_equal(
+        np.asarray(state.frozen["quantizer"]["embed"]),
+        np.asarray(new_state.frozen["quantizer"]["embed"]))
+
+
+def test_kmeans_init_codebooks():
+    rng = np.random.default_rng(1)
+    emb = jnp.asarray(rng.normal(size=(300, TINY.rvq.dimension)), jnp.float32)
+    books = codec_trainer.kmeans_init_codebooks(jax.random.PRNGKey(0), TINY,
+                                                emb, iters=5)
+    assert books.shape == (TINY.rvq.n_q, TINY.rvq.bins, TINY.rvq.dimension)
+    assert np.isfinite(np.asarray(books)).all()
