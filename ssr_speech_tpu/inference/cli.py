@@ -150,6 +150,15 @@ def main(argv=None):
     else:
         raise SystemExit("need --alignment_file or --whisper_model")
     orig_transcript = args.orig_transcript or " ".join(w for w, _, _ in words)
+    if args.language == "zh":
+        try:  # traditional -> simplified, reference inference_v2.py:114-122
+            from opencc import OpenCC  # host-side optional dep
+
+            cc = OpenCC("t2s")
+            orig_transcript = cc.convert(orig_transcript)
+            args.target_transcript = cc.convert(args.target_transcript)
+        except ImportError:
+            logging.warning("opencc unavailable; skipping t2s conversion")
 
     wav, sr = audio_io.read_wav(args.orig_audio)
     audio_dur = wav.shape[-1] / sr
