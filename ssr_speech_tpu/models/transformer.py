@@ -113,11 +113,16 @@ def transformer_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    remat: bool = True,
 ) -> jnp.ndarray:
     """Full-sequence forward (training / prefill without cache capture).
 
     h: [B, S, D]; bias: [B, 1, S, S] additive. Returns [B, S, D] after the
     final LayerNorm (reference ``models/ssr.py:169-173``).
+
+    remat: rematerialize each layer in the backward pass — without it the
+    scan saves every layer's [B, H, S, S] attention matrix (the 830M model at
+    B=8/S=1280 needs 41 GB of HLO temps; with remat it fits one v5e chip).
     """
     nhead, rate = cfg.nhead, cfg.trm_dropout
     h = h.astype(dtype)
@@ -141,7 +146,8 @@ def transformer_forward(
         h = h + _dropout(ff, rate, k3, deterministic)
         return (h, key), None
 
-    (h, _), _ = jax.lax.scan(body, (h, rng), params["layers"])
+    scan_body = jax.checkpoint(body) if remat else body
+    (h, _), _ = jax.lax.scan(scan_body, (h, rng), params["layers"])
     return layer_norm(h, params["final_ln_w"], params["final_ln_b"])
 
 

@@ -78,6 +78,8 @@ def build_parser():
     # parallelism
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--load_model_from", default=None)
+    p.add_argument("--benchmark_no_load", action="store_true",
+                   help="repeat one batch to benchmark the step loop")
     return p
 
 
@@ -177,7 +179,7 @@ def main(argv=None):
     if args.load_model_from:
         trainer.load_bundle(args.load_model_from, load_optimizer=False)
     with mesh:
-        trainer.train()
+        trainer.train(benchmark_no_load=args.benchmark_no_load)
 
 
 if __name__ == "__main__":

@@ -187,12 +187,20 @@ class Trainer:
 
     # ------------------------------------------------------------- loop
 
-    def train(self):
+    def train(self, benchmark_no_load: bool = False):
+        """Main loop. ``benchmark_no_load`` repeats the first batch to
+        benchmark the step loop without I/O (reference
+        audiocraft/config/config.yaml:21, solvers/base.py:527-530)."""
         tcfg = self.tcfg
         flag = True
         data_start = time.time()
+        bench_batch = None
         while flag:
             for batch in self.train_loader(self.progress["epoch"]):
+                if benchmark_no_load:
+                    if bench_batch is None:
+                        bench_batch = batch
+                    batch = bench_batch
                 if self.progress["step"] > self.total_step:
                     flag = False
                     self.validate_and_save()
