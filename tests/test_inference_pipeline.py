@@ -181,3 +181,20 @@ def test_watermark_detect_api(tmp_path):
     marks = atok.detect_watermark(wav)
     assert marks.shape == (1, 10)
     assert set(np.unique(marks)) <= {0, 1}
+
+
+def test_sample_manager(tmp_path):
+    from ssr_speech_tpu.utils.sample_manager import SampleManager
+
+    sm = SampleManager(str(tmp_path / "samples"))
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=(1, 1600)) * 0.1).astype(np.float32)
+    sid1 = sm.add_sample(wav, 16000, epoch=1, conditioning={"text": "hi"})
+    sid2 = sm.add_sample(wav, 16000, epoch=1)  # duplicate audio -> same id
+    assert sid1 == sid2
+    other = (rng.normal(size=(1, 1600)) * 0.1).astype(np.float32)
+    sid3 = sm.add_sample(other, 16000, epoch=2, prompt_wav=wav[0])
+    assert sid3 != sid1
+    metas = sm.get_samples()
+    assert len(metas) == 3 or len(metas) == 2  # dup json overwrites
+    assert any(m.get("prompt_id") for m in metas)

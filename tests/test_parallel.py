@@ -1,0 +1,73 @@
+"""Sharding correctness: tensor-parallel and data-parallel execution must
+reproduce single-device numerics on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ssr_speech_tpu.config import OptimConfig, TrainConfig, tiny_ssr_config
+from ssr_speech_tpu.models import ssr as ssr_model
+from ssr_speech_tpu.parallel import mesh as meshlib
+
+CFG = tiny_ssr_config(nhead=4)
+
+
+def make_batch(B=8, sx=12, sy=40, seed=0):
+    rng = np.random.default_rng(seed)
+    ts = CFG.tokens
+    return dict(
+        x=rng.integers(0, CFG.text_vocab_size, size=(B, sx)).astype(np.int32),
+        x_lens=np.full(B, sx, np.int32),
+        y=rng.integers(0, ts.audio_vocab_size, size=(B, sy, CFG.n_codebooks)).astype(np.int32),
+        y_lens=np.full(B, sy, np.int32),
+    )
+
+
+def loss_of(params, batch):
+    out = ssr_model.ssr_forward(params, CFG, batch, deterministic=True)
+    return out["loss"], out["top10acc"]
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_forward_matches_single_device(dp, tp):
+    if len(jax.devices()) < dp * tp:
+        pytest.skip("not enough devices")
+    params = ssr_model.init_ssr(jax.random.PRNGKey(0), CFG)
+    batch = make_batch()
+    want_loss, want_acc = jax.jit(loss_of)(params, batch)
+
+    mesh = meshlib.make_mesh(n_devices=dp * tp, tp=tp)
+    with mesh:
+        sp = meshlib.shard_tree(mesh, params, meshlib.ssr_param_specs(params))
+        sb = meshlib.shard_tree(mesh, batch, meshlib.batch_specs())
+        got_loss, got_acc = jax.jit(loss_of)(sp, sb)
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(got_acc), float(want_acc), rtol=1e-5)
+
+
+def test_sharded_grads_match_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    params = ssr_model.init_ssr(jax.random.PRNGKey(1), CFG)
+    batch = make_batch(seed=1)
+
+    def loss_fn(p, b):
+        return loss_of(p, b)[0]
+
+    want = jax.jit(jax.grad(loss_fn))(params, batch)
+    mesh = meshlib.make_mesh(n_devices=8, tp=2)
+    with mesh:
+        sp = meshlib.shard_tree(mesh, params, meshlib.ssr_param_specs(params))
+        sb = meshlib.shard_tree(mesh, batch, meshlib.batch_specs())
+        got = jax.jit(jax.grad(loss_fn))(sp, sb)
+    key = lambda kv: str(kv[0])
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(want), key=key),
+        sorted(jax.tree_util.tree_leaves_with_path(got), key=key),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-5,
+            err_msg=str(ka),
+        )
