@@ -257,3 +257,22 @@ def test_dryrun_multichip_8dev():
 
     n = min(8, len(jax.devices()))
     ge.dryrun_multichip(n)
+
+
+def test_batcher_resume_skips_consumed_batches(tmp_path):
+    root = make_synth_corpus(tmp_path)
+    dcfg = DataConfig(dataset_dir=root, encodec_folder_name="codes",
+                      audio_min_length=2.0, audio_max_length=10.0,
+                      text_min_length=5, num_buckets=3, max_num_tokens=2000)
+    ds = SpeechDataset(CFG, dcfg, MaskingConfig(), "train")
+    b1 = BucketBatcher(ds, CFG, dcfg, seed=5)
+    full = list(b1(0))
+    assert len(full) > 2
+    b2 = BucketBatcher(ds, CFG, dcfg, seed=5)
+    b2.set_epoch_resume(0, 2)
+    resumed = list(b2(0))
+    # same plans (same seed+epoch), resumed from step 2; compare on the text
+    # side (the masking rng is stateful so y spans legitimately differ)
+    assert len(resumed) == len(full) - 2
+    np.testing.assert_array_equal(resumed[0]["x_lens"], full[2]["x_lens"])
+    np.testing.assert_array_equal(resumed[0]["x"], full[2]["x"])
