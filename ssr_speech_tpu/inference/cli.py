@@ -106,7 +106,9 @@ def load_lm(path: str):
 
 
 def load_codec(path: str):
-    from ..config import CodecConfig
+    import json
+
+    from ..config import CodecConfig, codec_config_from_json
     from ..data.tokenizer import AudioTokenizer
     from ..models import convert as cvt
     from ..utils import checkpoint as ckpt
@@ -120,7 +122,10 @@ def load_codec(path: str):
                 sd = sd[key]
         params = cvt.convert_wmencodec(sd, cfg)
     else:
-        params = ckpt.load_bundle(path)["params"]
+        bundle = ckpt.load_bundle(path)
+        params = bundle["params"]
+        if bundle.get("config") is not None:  # honor the stored geometry
+            cfg = codec_config_from_json(json.dumps(bundle["config"]))
     return AudioTokenizer(params, cfg)
 
 
