@@ -248,8 +248,8 @@ def _generate_impl(
 )
 def _generate_batched_impl(
     params,
-    cache: trf.KVCache,  # [L, B, H, T, Dh] with B = n_samples*(2 if aug else 1)
-    key_banned: jnp.ndarray,
+    pfx: trf.KVCache,  # shared prompt cache [L, n_groups, H, Tp, Dh]
+    key_banned: jnp.ndarray,  # [n_groups, 2]
     rng: jax.Array,
     sentinel_ids: jnp.ndarray,
     x_len: jnp.ndarray,
@@ -269,6 +269,10 @@ def _generate_batched_impl(
     seeds sequentially (inference_v2.py:331-337); on TPU the weight reads
     amortize across the batch, so S samples cost barely more than one.
 
+    The prompt KV cache is SHARED: it is built once for [cond, uncond] and
+    read once per group per step (a per-chain copy would multiply the cache
+    traffic by S); each chain carries only its generated-position cache.
+
     Batch layout: rows [cond_0..cond_{S-1} ; uncond_0..uncond_{S-1}].
     Returns (out [S, K, CAP], span_end [S, num_task], out_len [S]).
     """
@@ -277,7 +281,10 @@ def _generate_batched_impl(
     K = cfg.n_codebooks
     ts = cfg.tokens
     card = ts.cardinality
-    batch = cache.k.shape[1]
+    n_groups = pfx.k.shape[1]
+    batch = n_groups * S
+    gen0 = trf.init_kv_cache(cfg, batch, _bucket(cap_total + 8, 128),
+                             dtype=pfx.k.dtype)
     pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
     rows = jnp.arange(K)[None, :, None]  # [1,K,1]
     cols = jnp.arange(card)[None, None, :]
@@ -320,9 +327,9 @@ def _generate_batched_impl(
     def body(s):
         key, k_samp = jax.random.split(s.key)
         h = embed_rows(s.next_tokens, s.y_pos)
-        out_h, cache = trf.transformer_decode_step(
-            params["decoder"], h, s.cache, key_banned, cfg, dtype=dtype,
-            use_pallas=use_pallas,
+        out_h, cache = trf.transformer_decode_step_shared(
+            params["decoder"], h, pfx, s.cache, key_banned, cfg,
+            n_groups=n_groups, dtype=dtype,
         )
         logits = ssr_model.predict_logits(params, out_h)  # [B, K, card]
         if aug_text:
@@ -414,7 +421,7 @@ def _generate_batched_impl(
                   num_cfg=num_cfg, done=done)
 
     init = _S(
-        cache=cache, key=rng,
+        cache=gen0, key=rng,
         y_pos=jnp.asarray(y_pos0, jnp.int32),
         next_tokens=jnp.broadcast_to(sentinel_ids[0], (S, K)).astype(jnp.int32),
         out=jnp.full((S, K, cap_total), ts.empty, jnp.int32),
@@ -467,9 +474,9 @@ def generate_batch(
             else:
                 uncond_x = np.asarray(jax.random.randint(
                     jax.random.fold_in(rng, 7), x.shape, 0, cfg.n_text_tokens))
-        x_rows = [x] * n_samples + [uncond_x] * n_samples
+        x_rows = [x, uncond_x]  # prompt cache built once per group
     else:
-        x_rows = [x] * n_samples
+        x_rows = [x]
     xb = np.stack(x_rows, axis=0)
 
     x_len = int(x.shape[0])
@@ -482,14 +489,15 @@ def generate_batch(
     prefix_padded = np.full((K, p_pad), ts.empty, np.int32)
     prefix_padded[:, :p_len] = prefix
     if tmax is None:
-        tmax = _bucket(sx_pad + p_pad + cap_total + num_task + 8, tmax_bucket)
+        # shared-prefix layout: the prompt cache holds ONLY the prompt
+        tmax = _bucket(sx_pad + p_pad + 8, 256)
 
     cache, key_banned = _prefill_impl(
         params, jnp.asarray(xb_padded), jnp.asarray(prefix_padded),
         jnp.asarray(x_len, jnp.int32), jnp.asarray(p_len, jnp.int32),
         cfg=cfg, tmax=tmax, dtype_name=dtype_name,
         cfg_pretrained=dec.cfg_pretrained, aug_text=dec.aug_text,
-        uncond_row_start=n_samples if dec.aug_text else -1,
+        uncond_row_start=1 if dec.aug_text else -1,
     )
     if use_pallas is None:
         use_pallas = False

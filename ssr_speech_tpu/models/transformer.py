@@ -204,6 +204,78 @@ def transformer_prefill(
     return out, KVCache(new_k, new_v, start + h.shape[1])
 
 
+def transformer_decode_step_shared(
+    params: Params,
+    h_t: jnp.ndarray,  # [B, D] with B = n_groups * S (group-major rows)
+    pfx: KVCache,  # prefix cache [L, n_groups, H, Tp, Dh], shared by chains
+    gen: KVCache,  # generated cache [L, B, H, Tg, Dh], per chain
+    key_banned: jnp.ndarray,  # [n_groups, 2] banned key range in the prefix
+    cfg: SSRModelConfig,
+    *,
+    n_groups: int,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Decode step for seed-batched generation with a SHARED prompt cache.
+
+    All S chains of a CFG group attend the same prompt, so the prefix K/V is
+    stored once per group and read once per group per step (the naive layout
+    reads it S times); per-chain caches hold only generated positions. The
+    softmax runs over the concatenated [prefix ; generated] scores — exactly
+    equivalent to single-cache attention, no online merge needed.
+    """
+    nhead = cfg.nhead
+    b, d = h_t.shape
+    S = b // n_groups
+    tp = pfx.max_len
+    tg = gen.max_len
+    gpos = gen.length  # tokens generated so far (same for all chains)
+    h = h_t.astype(dtype)[:, None, :]
+
+    idxp = jnp.arange(tp)[None, :]
+    pfx_banned = (idxp >= pfx.length) | (
+        (idxp >= key_banned[:, :1]) & (idxp < key_banned[:, 1:2])
+    )  # [G, Tp]
+    pfx_bias = jnp.where(pfx_banned, -1e9, 0.0).astype(jnp.float32)
+    gen_banned = jnp.arange(tg) > gpos  # [Tg]; current token stays visible
+    gen_bias = jnp.where(gen_banned, -1e9, 0.0).astype(jnp.float32)
+
+    new_k, new_v = gen.k, gen.v
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[l], params["layers"])
+        hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"])
+        qkv = hn @ lp["qkv_w"].astype(dtype) + lp["qkv_b"].astype(dtype)
+        q, k, v = (_split_heads(t, nhead) for t in jnp.split(qkv, 3, axis=-1))
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k[None].astype(new_k.dtype), (l, 0, 0, gpos, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v[None].astype(new_v.dtype), (l, 0, 0, gpos, 0))
+        qg = (q[:, :, 0, :] * scale).reshape(n_groups, S, nhead, cfg.head_dim)
+        # prefix scores: the group's K read ONCE for its S chains
+        sp = jnp.einsum(
+            "gshd,ghtd->gsht", qg.astype(dtype), pfx.k[l].astype(dtype),
+            preferred_element_type=jnp.float32,
+        ) + pfx_bias[:, None, None, :]
+        sg = jnp.einsum(
+            "bhd,bhtd->bht", (q[:, :, 0, :] * scale).astype(dtype),
+            new_k[l].astype(dtype), preferred_element_type=jnp.float32,
+        ).reshape(n_groups, S, nhead, tg) + gen_bias
+        s_all = jnp.concatenate([sp, sg], axis=-1)
+        p_all = jax.nn.softmax(s_all.astype(jnp.float32), axis=-1).astype(dtype)
+        pp, pg = p_all[..., :tp], p_all[..., tp:]
+        out_p = jnp.einsum("gsht,ghtd->gshd", pp, pfx.v[l].astype(dtype))
+        out_g = jnp.einsum(
+            "bht,bhtd->bhd", pg.reshape(b, nhead, tg), new_v[l].astype(dtype))
+        attn = (out_p.reshape(b, nhead, cfg.head_dim) + out_g).reshape(b, 1, d)
+        attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
+        h = h + attn
+        hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
+        ff = jax.nn.relu(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
+        h = h + ff @ lp["ffn2_w"].astype(dtype) + lp["ffn2_b"].astype(dtype)
+    out = layer_norm(h, params["final_ln_w"], params["final_ln_b"])
+    return out[:, 0, :], KVCache(new_k, new_v, gpos + 1)
+
+
 def transformer_decode_step(
     params: Params,
     h_t: jnp.ndarray,

@@ -19,7 +19,7 @@ mask=[(150,150)]
 frames=300
 dec = DecodeConfig(aug_text=True, cfg_stride=5, top_k=0, top_p=0.8, stop_repetition=-1,
                    cfg_pretrained=True, max_gen_per_span=frames+4, length_cap_mult=10000)
-for S, pallas in [(4, False), (4, True), (8, False), (8, True)]:
+for S, pallas in [(1, False), (2, False), (4, False), (8, False), (16, False)]:
     def call(s):
         return dec_mod.generate_batch(params, cfg, dec, x, y, mask,
             jax.random.PRNGKey(s), n_samples=S, tmax=1024,
