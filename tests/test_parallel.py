@@ -71,3 +71,27 @@ def test_sharded_grads_match_single_device():
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-5,
             err_msg=str(ka),
         )
+
+
+def test_fsdp_sharded_forward_matches():
+    """FSDP-style layer-stack sharding over dp (reference has FSDP wired but
+    off, optim/fsdp.py:51; here it's a sharding spec): layer params sharded
+    on the stack dim across dp AND megatron tp, numerics unchanged."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    cfg = tiny_ssr_config(nhead=4, num_layers=8)
+
+    def loss8(p, b):
+        out = ssr_model.ssr_forward(p, cfg, b, deterministic=True)
+        return out["loss"]
+
+    params = ssr_model.init_ssr(jax.random.PRNGKey(2), cfg)
+    batch = make_batch(seed=2)
+    want = jax.jit(loss8)(params, batch)
+    mesh = meshlib.make_mesh(n_devices=8, tp=2)  # dp=4 divides num_layers=8
+    with mesh:
+        specs = meshlib.ssr_param_specs(params, fsdp=True)
+        sp = meshlib.shard_tree(mesh, params, specs)
+        sb = meshlib.shard_tree(mesh, batch, meshlib.batch_specs())
+        got = jax.jit(loss8)(sp, sb)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
