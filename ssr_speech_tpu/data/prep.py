@@ -48,7 +48,12 @@ def cmd_encode(args):
                 sd = sd[key]
         params = cvt.convert_wmencodec(sd, cfg)
     else:
-        params = ckpt.load_bundle(args.codec_path)["params"]
+        bundle = ckpt.load_bundle(args.codec_path)
+        params = bundle["params"]
+        if bundle.get("config") is not None:  # honor the stored geometry
+            from ..config import codec_config_from_json
+
+            cfg = codec_config_from_json(json.dumps(bundle["config"]))
 
     with open(args.manifest) as f:
         if args.manifest.endswith(".jsonl") or args.manifest.endswith(".json"):

@@ -66,3 +66,31 @@ def test_bootstrap_wm_from_codec():
     d = jax.tree.leaves(boot["encoder"])
     for x, y in zip(c, d):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_prep_encode_cli(tmp_path):
+    import dataclasses
+
+    from ssr_speech_tpu.data import prep
+    from ssr_speech_tpu.utils import checkpoint as ckpt
+
+    mf = make_manifest(tmp_path, n=3, dur=1.0)
+    codec_params = wm.init_wmencodec(jax.random.PRNGKey(0), TINY)
+    codec_path = str(tmp_path / "codec.pkl")
+    ckpt.save_bundle(codec_path, params=codec_params,
+                     config=dataclasses.asdict(TINY))
+    # prep encode takes a jsonl manifest of {path}
+    save_dir = str(tmp_path / "codes")
+    prep.main(["encode", "--manifest", mf, "--codec_path", codec_path,
+               "--save_dir", save_dir, "--batch_size", "2",
+               "--bucket_frames", "8"])
+    import os
+
+    files = sorted(os.listdir(save_dir))
+    assert len(files) == 3
+    rows = open(os.path.join(save_dir, files[0])).read().strip().split("\n")
+    assert len(rows) == TINY.rvq.n_q
+    vals = [int(v) for v in rows[0].split()]
+    assert all(0 <= v < TINY.rvq.bins for v in vals)
+    # frame count = duration * sample_rate / hop
+    assert len(vals) == int(1.0 * TINY.sample_rate) // TINY.hop_length

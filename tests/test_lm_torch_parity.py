@@ -161,3 +161,47 @@ def test_greedy_token_stream_parity(ref_and_params, aug_text, cfg_stride, mask):
     )
     np.testing.assert_array_equal(codes[0], res[0].numpy())
     np.testing.assert_array_equal(marks_j[0], marks[0].numpy())
+
+
+@pytest.mark.parametrize("aug_text", [False, True])
+def test_aug_context_token_stream_parity(ref_and_params, aug_text):
+    """aug_context: prompt audio+text prepended when the masked content is
+    short (reference models/ssr.py:563-593,806-810)."""
+    import torch
+
+    _, model, params = ref_and_params
+    rng = np.random.default_rng(11)
+    y = rng.integers(0, TS.audio_vocab_size, size=(CFG.n_codebooks, 28))
+    x = rng.integers(0, CFG.text_vocab_size - 1, size=(18,))
+    prompt_y = rng.integers(0, TS.audio_vocab_size, size=(CFG.n_codebooks, 12))
+    prompt_x = rng.integers(0, CFG.text_vocab_size - 1, size=(9,))
+    mask = [(8, 15)]  # 7 frames < 2*50 -> context activates
+
+    with torch.no_grad():
+        res, marks, masks, nmi = model.inference(
+            torch.from_numpy(x[None]).long(),
+            torch.tensor([len(x)]),
+            torch.from_numpy(prompt_x[None]).long(),
+            torch.tensor([len(prompt_x)]),
+            torch.from_numpy(y.T[None]).long(),
+            torch.from_numpy(prompt_y.T[None]).long(),
+            mask_interval=torch.tensor(mask).unsqueeze(0),
+            top_k=1, top_p=1.0, temperature=1.0,
+            stop_repetition=-1, kvcache=1,
+            cfg_coef=1.5, cfg_stride=2,
+            aug_text=aug_text, aug_context=True, cfg_pretrained=True,
+        )
+
+    dec = DecodeConfig(
+        top_k=1, top_p=1.0, temperature=1.0, stop_repetition=-1,
+        cfg_coef=1.5, cfg_stride=2, aug_text=aug_text, aug_context=True,
+        cfg_pretrained=True, max_gen_per_span=400, length_cap_mult=10,
+    )
+    import jax
+
+    codes, marks_j, out_iv, nm = decode.generate(
+        params, CFG, dec, x, y, mask, jax.random.PRNGKey(0),
+        prompt_x=prompt_x, prompt_y=prompt_y, dtype_name="float32",
+    )
+    np.testing.assert_array_equal(codes[0], res[0].numpy())
+    np.testing.assert_array_equal(marks_j[0], marks[0].numpy())
