@@ -164,3 +164,46 @@ def test_wm_decoder_parity_full_ratios(ref):
     np.testing.assert_allclose(
         np.asarray(got_logits), want_logits.numpy(), atol=3e-5, rtol=1e-4
     )
+
+
+def test_causal_codec_parity(ref):
+    """Causal convolutions + trim_right_ratio (the streaming-oriented mode,
+    reference conv.py:193-201,232-237) — untouched by the shipped config but
+    part of the API surface."""
+    import torch
+
+    torch.manual_seed(5)
+    cfg = CodecConfig(
+        seanet=SEANetConfig(dimension=16, n_filters=2, n_residual_layers=1,
+                            ratios=(4, 2), lstm=1, norm="weight_norm",
+                            causal=True, pad_mode="constant",
+                            trim_right_ratio=1.0),
+        rvq=RVQConfig(dimension=16, n_q=2, bins=7),
+    )
+    sn = cfg.seanet
+    enc = ref.seanet.SEANetEncoder(
+        channels=1, dimension=sn.dimension, n_filters=sn.n_filters,
+        n_residual_layers=1, ratios=list(sn.ratios), lstm=sn.lstm,
+        norm=sn.norm, pad_mode=sn.pad_mode, causal=True,
+    ).eval()
+    dec = ref.seanet.SEANetDecoder(
+        channels=1, dimension=sn.dimension, n_filters=sn.n_filters,
+        n_residual_layers=1, ratios=list(sn.ratios), lstm=sn.lstm,
+        norm=sn.norm, pad_mode=sn.pad_mode, causal=True,
+        trim_right_ratio=1.0,
+    ).eval()
+    ep = convert.convert_seanet_encoder(_sd(enc), "", cfg)
+    dp = convert.convert_seanet_decoder(_sd(dec), "", cfg)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, 1, 5 * sn.hop_length + 3)).astype(np.float32)
+    with torch.no_grad():
+        want_lat = enc(torch.from_numpy(x)).numpy()
+    got_lat = np.asarray(seanet.encode(ep, x.transpose(0, 2, 1), sn))
+    np.testing.assert_allclose(got_lat.transpose(0, 2, 1), want_lat,
+                               atol=2e-5, rtol=1e-4)
+    z = rng.normal(size=(1, sn.dimension, 5)).astype(np.float32)
+    with torch.no_grad():
+        want_wav = dec(torch.from_numpy(z)).numpy()
+    got_wav = np.asarray(seanet.decode(dp, z.transpose(0, 2, 1), sn))
+    np.testing.assert_allclose(got_wav.transpose(0, 2, 1), want_wav,
+                               atol=2e-5, rtol=1e-4)
