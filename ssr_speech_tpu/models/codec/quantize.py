@@ -76,3 +76,28 @@ def rvq_quantize(p: Params, emb: jnp.ndarray, n_q: int | None = None
     (reference vq.py:78-93)."""
     codes = rvq_encode(p, emb, n_q)
     return rvq_decode(p, codes), codes
+
+
+def rvq_quantize_dropout(
+    p: Params, emb: jnp.ndarray, rng, max_q: int | None = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantizer dropout for training (reference vq.py:78-81, q_dropout):
+    a random number of residual stages n_q ~ U[1, max_q] is active this step.
+    Implemented as a traced per-stage mask so one compiled program covers
+    every draw."""
+    import jax
+
+    embed = p["embed"]
+    max_q = max_q if max_q is not None else embed.shape[0]
+    n_q = jax.random.randint(rng, (), 1, max_q + 1)
+    residual = emb
+    out = jnp.zeros_like(emb)
+    codes = []
+    for k in range(max_q):
+        idx = nearest_code(embed[k], residual)
+        quant = embed[k][idx]
+        active = (k < n_q).astype(emb.dtype)
+        out = out + active * quant
+        residual = residual - active * quant
+        codes.append(idx)
+    return out, jnp.stack(codes, axis=1)

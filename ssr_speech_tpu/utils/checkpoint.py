@@ -52,6 +52,29 @@ def save_step_checkpoint(dirpath: str, step: int, keep_last: int = 3, **entries)
         os.remove(os.path.join(dirpath, old))
 
 
+def save_sharded(path: str, tree) -> None:
+    """Sharded (multi-host/FSDP-safe) checkpoint via orbax: each host writes
+    only its addressable shards — the TPU-native replacement for the
+    reference's rank-sharded .tmp/.tmp.done protocol
+    (audiocraft utils/checkpoint.py:125-161)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_sharded(path: str, template=None):
+    """Restore an orbax checkpoint; ``template`` (abstract arrays with
+    shardings) re-shards onto the current mesh."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), template)
+    return ckptr.restore(os.path.abspath(path))
+
+
 def latest_checkpoint(dirpath: str) -> Optional[str]:
     if not os.path.isdir(dirpath):
         return None

@@ -183,3 +183,31 @@ def test_kmeans_init_codebooks():
                                                 emb, iters=5)
     assert books.shape == (TINY.rvq.n_q, TINY.rvq.bins, TINY.rvq.dimension)
     assert np.isfinite(np.asarray(books)).all()
+
+
+def test_rvq_quantize_dropout():
+    from ssr_speech_tpu.models.codec import quantize as q
+
+    rng = np.random.default_rng(3)
+    params = q.init_rvq(jax.random.PRNGKey(0), TINY.rvq)
+    emb = jnp.asarray(rng.normal(size=(2, 6, TINY.rvq.dimension)), jnp.float32)
+    # full-depth dropout draw must equal the deterministic quantizer
+    for seed in range(6):
+        out, codes = q.rvq_quantize_dropout(params, emb, jax.random.PRNGKey(seed))
+        full, full_codes = q.rvq_quantize(params, emb)
+        np.testing.assert_array_equal(np.asarray(codes)[:, :1],
+                                      np.asarray(full_codes)[:, :1])
+        err_drop = float(jnp.mean((out - emb) ** 2))
+        assert np.isfinite(err_drop)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    from ssr_speech_tpu.utils import checkpoint as ckpt
+
+    tree = {"a": jnp.arange(12.0).reshape(3, 4), "b": {"c": jnp.ones((5,))}}
+    path = str(tmp_path / "orbax_ckpt")
+    ckpt.save_sharded(path, tree)
+    back = ckpt.load_sharded(path)
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(back["b"]["c"]),
+                                  np.asarray(tree["b"]["c"]))
