@@ -221,8 +221,22 @@ def main(argv=None):
             args.orig_audio, orig_transcript, target_text, mask_intervals,
             use_watermark=args.use_watermark, tts=args.tts, seed=args.seed,
         )
-        audio_io.write_wav(os.path.join(args.output_dir, f"{args.savename}.wav"),
-                           out[0, :, 0], audio_tok.sample_rate)
+        out_path = os.path.join(args.output_dir, f"{args.savename}.wav")
+        audio_io.write_wav(out_path, out[0, :, 0], audio_tok.sample_rate)
+        if args.tts and args.whisper_model:
+            # trim residual prompt audio via re-transcription
+            # (reference inference_v2.py:338-354)
+            from ..utils.asr import WhisperAligner
+
+            gen_words = WhisperAligner(args.whisper_model).transcribe(out_path)
+            first_target = (args.target_transcript.split() or [""])[0] \
+                if args.language == "en" else args.target_transcript[:1]
+            offset = pipeline.tts_trim_offset(gen_words, first_target,
+                                              args.language)
+            if offset > 0:
+                cut = int(offset * audio_tok.sample_rate)
+                audio_io.write_wav(out_path, out[0, cut:, 0],
+                                   audio_tok.sample_rate)
     logging.info("Running time: %.2f s", time.time() - t0)
 
 

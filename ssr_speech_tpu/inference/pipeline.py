@@ -185,6 +185,27 @@ def inference_batch(
     return outs
 
 
+def tts_trim_offset(
+    gen_words: Sequence[WordTime], first_target_word: str, language: str = "en"
+) -> float:
+    """Where to cut the leading prompt out of a TTS result, from a
+    re-transcription of the generated audio (reference
+    inference_v2.py:338-354): if the first recognized word already is the
+    first target word, trim at its start; otherwise assume one residual
+    prompt word and trim at the second word's start."""
+    if not gen_words:
+        return 0.0
+    w0 = gen_words[0][0]
+    tgt = first_target_word
+    if language == "en":
+        w0, tgt = w0.lower(), tgt.lower()
+    if w0.strip(".,!?'\" ") == tgt.strip(".,!?'\" "):
+        return float(gen_words[0][1])
+    if len(gen_words) > 1:
+        return float(gen_words[1][1])
+    return float(gen_words[0][1])
+
+
 def cut_prompt_for_tts(
     words: Sequence[WordTime], prompt_length: float
 ) -> Tuple[int, float]:

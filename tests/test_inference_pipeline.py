@@ -198,3 +198,13 @@ def test_sample_manager(tmp_path):
     metas = sm.get_samples()
     assert len(metas) == 3 or len(metas) == 2  # dup json overwrites
     assert any(m.get("prompt_id") for m in metas)
+
+
+def test_tts_trim_offset():
+    words = [("hello", 0.1, 0.4), ("brave", 0.5, 0.8), ("world", 0.9, 1.2)]
+    # first recognized word matches the target -> trim at its start
+    assert pipeline.tts_trim_offset(words, "Hello", "en") == 0.1
+    # residual prompt word first -> trim at second word's start
+    assert pipeline.tts_trim_offset(words, "brave", "en") == 0.5
+    assert pipeline.tts_trim_offset([], "x") == 0.0
+    assert pipeline.tts_trim_offset([("好", 0.2, 0.4)], "好", "zh") == 0.2
