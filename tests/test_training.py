@@ -276,3 +276,60 @@ def test_batcher_resume_skips_consumed_batches(tmp_path):
     assert len(resumed) == len(full) - 2
     np.testing.assert_array_equal(resumed[0]["x_lens"], full[2]["x_lens"])
     np.testing.assert_array_equal(resumed[0]["x"], full[2]["x"])
+
+
+def test_trainer_end_to_end_loop(tmp_path):
+    """Full Trainer: synthetic corpus -> a few steps -> validate + bundles
+    (the reference trainer loop, steps/trainer.py:57-244)."""
+    from ssr_speech_tpu.data.prefetch import prefetch
+    from ssr_speech_tpu.training.trainer import Trainer
+
+    root = make_synth_corpus(tmp_path, n=16)
+    # synthesize a validation split from the same corpus
+    import shutil
+
+    shutil.copy(os.path.join(root, "manifest", "train.txt"),
+                os.path.join(root, "manifest", "validation.txt"))
+    dcfg = DataConfig(dataset_dir=root, encodec_folder_name="codes",
+                      audio_min_length=2.0, audio_max_length=10.0,
+                      text_min_length=5, num_buckets=2, max_num_tokens=3000,
+                      exp_dir=str(tmp_path / "exp"))
+    tcfg = TrainConfig(
+        precision="float32", num_steps=4, val_every_n_steps=2,
+        print_every_n_steps=1, early_stop_step=100,
+        optim=OptimConfig(optimizer_name="adamw", lr=1e-4,
+                          clipping_scale=None),
+        data=dcfg,
+    )
+    ds = SpeechDataset(CFG, dcfg, MaskingConfig(), "train")
+    vds = SpeechDataset(CFG, dcfg, MaskingConfig(), "validation")
+    tb = BucketBatcher(ds, CFG, dcfg)
+    vb = BucketBatcher(vds, CFG, dcfg)
+    tr = Trainer(CFG, tcfg, prefetch(tb), lambda: vb(0),
+                 phn2num=ds.phn2num, exp_dir=dcfg.exp_dir)
+    progress = tr.train()
+    assert progress["step"] >= 4
+    assert os.path.isfile(os.path.join(dcfg.exp_dir, "bundle.pkl"))
+    assert os.path.isfile(os.path.join(dcfg.exp_dir, "metrics.jsonl"))
+    # resume from the bundle
+    tr2 = Trainer(CFG, tcfg, prefetch(tb), lambda: vb(0),
+                  phn2num=ds.phn2num, exp_dir=dcfg.exp_dir)
+    tr2.load_bundle(os.path.join(dcfg.exp_dir, "bundle.pkl"))
+    assert tr2.progress["step"] >= 4
+
+
+def test_prefetch_iterator():
+    from ssr_speech_tpu.data.prefetch import PrefetchIterator
+
+    out = list(PrefetchIterator(iter(range(10)), depth=2))
+    assert out == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("x")
+
+    it = PrefetchIterator(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        for _ in it:
+            pass
