@@ -98,6 +98,7 @@ def main(argv=None):
     )
     from .data.batching import BucketBatcher
     from .data.dataset import SpeechDataset
+    from .data.prefetch import prefetch
     from .parallel import mesh as meshlib
     from .training.trainer import Trainer
 
@@ -170,7 +171,7 @@ def main(argv=None):
     except FileNotFoundError:
         valid_loader = None
 
-    trainer = Trainer(cfg, tcfg, train_batcher, valid_loader,
+    trainer = Trainer(cfg, tcfg, prefetch(train_batcher), valid_loader,
                       phn2num=train_ds.phn2num, mesh=mesh,
                       exp_dir=args.exp_dir)
     resume_path = os.path.join(args.exp_dir, "bundle.pkl")
