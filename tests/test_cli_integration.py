@@ -132,3 +132,39 @@ def test_cli_tts(artifacts, monkeypatch):
         cli_mod.load_codec = real
     out_path = os.path.join(artifacts["out"], "tts.wav")
     assert os.path.isfile(out_path)
+
+
+def test_cli_zh_editing(artifacts, monkeypatch, tmp_path):
+    """Mandarin path: char-level diff, zh TTS text concat, opencc gated."""
+    import csv
+
+    real = _patch_codec_cfg(monkeypatch)
+    # char-level alignment for a fake zh transcript
+    zh_words = list("今天天气很好")
+    align_path = str(tmp_path / "zh_align.csv")
+    step = artifacts["dur"] / (len(zh_words) + 1)
+    with open(align_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["word", "start", "end"])
+        for i, ch in enumerate(zh_words):
+            w.writerow([ch, round(i * step + 0.05, 3), round((i + 1) * step, 3)])
+    try:
+        cli.main([
+            "--model_path", artifacts["lm"],
+            "--codec_path", artifacts["codec"],
+            "--orig_audio", artifacts["wav"],
+            "--orig_transcript", "今天天气很好",
+            "--target_transcript", "今天天气不错",
+            "--alignment_file", align_path,
+            "--language", "zh",
+            "--output_dir", artifacts["out"],
+            "--savename", "zh_edit",
+            "--top_k", "5", "--stop_repetition", "-1", "--cfg_stride", "1",
+        ])
+    finally:
+        import ssr_speech_tpu.inference.cli as cli_mod
+
+        cli_mod.load_codec = real
+    import os
+
+    assert os.path.isfile(os.path.join(artifacts["out"], "zh_edit.wav"))
