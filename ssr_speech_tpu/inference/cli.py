@@ -20,8 +20,6 @@ import logging
 import time
 from typing import List, Tuple
 
-import numpy as np
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="SSR-Speech TPU inference")

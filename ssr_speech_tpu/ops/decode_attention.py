@@ -20,7 +20,6 @@ Grid: one program per batch row; the head dim stays whole in VMEM
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ y[b, n] = sum_k x[b, k] * (w_i8[k, n] * scale[n])   (+ optional bias)
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ on-device revert used inside jitted code lives in ``ops.patterns.revert_delay_jn
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -12,8 +12,6 @@ runs inside a compiled ``lax.while_loop``:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

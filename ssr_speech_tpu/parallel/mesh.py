@@ -19,7 +19,7 @@ plain ``jnp`` reductions over sharded arrays — XLA emits the collectives.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

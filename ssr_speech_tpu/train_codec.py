@@ -24,8 +24,6 @@ def bootstrap_wm_from_codec(params):
     """Initialize the watermark decoder from the trained plain codec
     (reference wmcompression.py:353-362): wmdecoder.model <- decoder,
     wm_encoder/skip_encoder <- encoder."""
-    import copy
-
     import jax
 
     copy_tree = lambda t: jax.tree.map(lambda x: x, t)

@@ -14,7 +14,6 @@ Example (830M, mirrors z_scripts/e830M.sh):
 from __future__ import annotations
 
 import argparse
-import json
 import logging
 import os
 

@@ -25,12 +25,10 @@ balancer.py:90-136 — same math, one compiled program).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..config import CodecConfig

@@ -17,7 +17,7 @@ Capability parity (reference ``audiocraft/audiocraft/losses/`` and
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ all-reduces across the data-parallel mesh automatically.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

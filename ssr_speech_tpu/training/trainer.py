@@ -20,18 +20,17 @@ Capability parity with the reference trainer (``steps/trainer.py``):
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import os
 import time
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
-from ..config import SSRModelConfig, TrainConfig, config_to_json
+from ..config import SSRModelConfig, TrainConfig
 from ..models import ssr as ssr_model
 from ..parallel import mesh as meshlib
 from ..utils import checkpoint as ckpt
