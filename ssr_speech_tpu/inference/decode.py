@@ -713,3 +713,342 @@ def generate(
         out_intervals = [(s - out_len, e - out_len) for s, e in out_intervals]
         nm = [(s - out_len, e - out_len) for s, e in nm]
     return codes, marks, out_intervals, nm
+
+
+# --------------------------------------------------------------- multi-prompt
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tmax", "dtype_name", "cfg_pretrained",
+                              "aug_text")
+)
+def _prefill_multi_impl(
+    params,
+    x: jnp.ndarray,  # [R, Sx_pad] rows = [cond_0..cond_{S-1}, uncond_0..]
+    y_prefix: jnp.ndarray,  # [S, K, P_pad] per-prompt prefixes
+    x_lens: jnp.ndarray,  # [R] true text lengths
+    p_lens: jnp.ndarray,  # [S] true prefix lengths
+    *,
+    cfg: SSRModelConfig,
+    tmax: int,
+    dtype_name: str = "bfloat16",
+    cfg_pretrained: bool = False,
+    aug_text: bool = False,
+):
+    """Prefill for DIFFERENT prompts in one batch. Ragged text/prefix lengths
+    leave permanently-dead key slots per row (the generated tokens live in a
+    separate cache), so the returned ban is a full [R, tmax] bool mask."""
+    dtype = jnp.dtype(dtype_name)
+    R, sx = x.shape
+    S, K, P = y_prefix.shape
+    pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
+
+    x_h = ssr_model.embed_text(params, cfg, x, pe)
+    y_tok = jnp.swapaxes(y_prefix, 1, 2)  # [S, P, K]
+    if aug_text:  # uncond rows reuse their prompt's audio prefix
+        y_tok = jnp.concatenate([y_tok, y_tok], axis=0)
+    y_h = ssr_model.embed_audio_tokens(params, cfg, y_tok)
+    y_h = ssr_model.apply_audio_pos(params, y_h, pe, 0)
+    h = jnp.concatenate([x_h, y_h], axis=1).astype(dtype)
+
+    s_tot = sx + P
+    idx = jnp.arange(s_tot)
+    is_y_col = idx >= sx
+    tri = idx[None, :] > idx[:, None]
+    struct = jnp.logical_or(tri, (~is_y_col)[:, None] & is_y_col[None, :])
+    # per-row dead keys: text padding + prefix tail padding
+    p_lens_r = jnp.concatenate([p_lens, p_lens]) if aug_text else p_lens
+    dead = ((idx[None, :] >= x_lens[:, None]) & (idx[None, :] < sx)) | (
+        idx[None, :] >= sx + p_lens_r[:, None]
+    )
+    if aug_text and cfg_pretrained:
+        uncond = jnp.arange(R) >= S
+        dead = dead | (uncond[:, None] & (idx[None, :] >= 1)
+                       & (idx[None, :] < sx))
+    banned = struct[None] | dead[:, :, None] * 0 | dead[:, None, :]
+    bias = jnp.where(banned, -1e9, 0.0)[:, None, :, :].astype(jnp.float32)
+
+    cache = trf.init_kv_cache(cfg, R, tmax, dtype=dtype)
+    _, cache = trf.transformer_prefill(params["decoder"], h, bias, cache, cfg,
+                                       dtype=dtype)
+    cache = cache._replace(length=jnp.asarray(s_tot, jnp.int32))
+    key_banned = jnp.ones((R, tmax), bool)
+    key_banned = key_banned.at[:, :s_tot].set(dead)
+    return cache, key_banned
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dec", "num_task", "cap_total", "aug_text",
+                     "n_prompts", "dtype_name"),
+)
+def _generate_multi_impl(
+    params,
+    pfx: trf.KVCache,  # [L, R, H, Tp, Dh]
+    key_banned: jnp.ndarray,  # [R, Tp] bool
+    rng: jax.Array,
+    sentinel_ids: jnp.ndarray,
+    x_lens: jnp.ndarray,  # [S] conditional-row text lengths
+    p_lens: jnp.ndarray,  # [S] prefix lengths (per-chain audio position base)
+    *,
+    cfg: SSRModelConfig,
+    dec: DecodeConfig,
+    num_task: int,
+    cap_total: int,
+    aug_text: bool,
+    n_prompts: int,
+    dtype_name: str = "bfloat16",
+):
+    """Decode S DIFFERENT prompts concurrently (each with its own CFG pair).
+
+    A serving capability beyond the reference (which is single-sample only,
+    models/ssr.py:559): weight reads amortize across utterances. Per-chain
+    audio positions, length caps and span state are vectors; chains freeze
+    when done.
+    """
+    dtype = jnp.dtype(dtype_name)
+    S = n_prompts
+    K = cfg.n_codebooks
+    ts = cfg.tokens
+    card = ts.cardinality
+    pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
+    rows = jnp.arange(K)[None, :, None]
+    cols = jnp.arange(card)[None, None, :]
+    silence = jnp.asarray(dec.silence_tokens, jnp.int32)
+    length_cap = x_lens * dec.length_cap_mult  # [S]
+    gen0 = trf.init_kv_cache(
+        cfg, S * (2 if aug_text else 1), _bucket(cap_total + 8, 128),
+        dtype=pfx.k.dtype)
+
+    static_ban = (cols == ts.eos) | (cols == ts.sos) | (
+        (cols >= ts.mts) & (cols < ts.mts + ts.max_n_spans))
+
+    class _S(NamedTuple):
+        cache: trf.KVCache
+        key: jax.Array
+        y_pos: jnp.ndarray  # [S] per-chain audio position of the fed token
+        next_tokens: jnp.ndarray  # [S, K]
+        out: jnp.ndarray
+        out_len: jnp.ndarray
+        span_idx: jnp.ndarray
+        span_end: jnp.ndarray
+        num_gen: jnp.ndarray
+        num_eog: jnp.ndarray
+        prev_token: jnp.ndarray
+        consec_silence: jnp.ndarray
+        num_cfg: jnp.ndarray
+        done: jnp.ndarray
+
+    def embed_rows(tokens, y_pos):
+        embs = params["audio_emb"]
+        h = 0.0
+        for k in range(cfg.n_codebooks):
+            h = h + embs[k][tokens[:, k]]  # [S, D]
+        h = h + params["audio_pos_alpha"][0] * pe[jnp.clip(y_pos, 0, pe.shape[0] - 1)]
+        if aug_text:
+            h = jnp.concatenate([h, h], axis=0)
+        return h.astype(dtype)
+
+    def cond_fn(s):
+        return (~jnp.all(s.done)) & (jnp.max(s.out_len) < cap_total)
+
+    def body(s):
+        key, k_samp = jax.random.split(s.key)
+        h = embed_rows(s.next_tokens, s.y_pos)
+        out_h, cache = trf.transformer_decode_step_shared(
+            params["decoder"], h, pfx, s.cache, key_banned, cfg,
+            n_groups=h.shape[0], dtype=dtype,
+        )
+        logits = ssr_model.predict_logits(params, out_h)
+        if aug_text:
+            cond_l, uncond_l = logits[:S], logits[S:]
+            do_mix = (s.num_cfg == dec.cfg_stride)[:, None, None]
+            lg = jnp.where(do_mix, dec.cfg_coef * cond_l
+                           + (1.0 - dec.cfg_coef) * uncond_l, cond_l)
+            num_cfg = jnp.where(s.num_cfg == dec.cfg_stride, 1, s.num_cfg + 1)
+        else:
+            lg = logits
+            num_cfg = s.num_cfg
+
+        lg = jnp.where(static_ban, NEG, lg)
+        lg = jnp.where((rows > s.num_gen[:, None, None]) & (cols == ts.empty),
+                       POS, lg)
+        in_cascade = (s.num_eog > 0)[:, None, None]
+        casc_ban = in_cascade & (rows > s.num_eog[:, None, None]) & (
+            (cols == ts.eog) | (cols == ts.empty))
+        noeog_ban = (~in_cascade) & (rows >= 1) & (cols == ts.eog)
+        lg = jnp.where(casc_ban | noeog_ban, NEG, lg)
+        if dec.stop_repetition > 0:
+            is_sil_prev = jnp.any(silence[None, :] == s.prev_token[:, None], axis=1)
+            apply_pen = (s.num_eog == 0) & is_sil_prev & (
+                s.consec_silence > dec.stop_repetition)
+            factor = (s.consec_silence - (dec.stop_repetition - 1)).astype(jnp.float32)
+            srow = jnp.arange(S)
+            prev_ix = jnp.clip(s.prev_token, 0, card - 1)
+            prev_logit = lg[srow, 0, prev_ix]
+            pen = jnp.where(prev_logit < 0, prev_logit * factor, prev_logit / factor)
+            lg = lg.at[srow, 0, prev_ix].set(jnp.where(apply_pen, pen, prev_logit))
+
+        lgt = lg / dec.temperature if dec.temperature != 1.0 else lg
+        lgt = top_k_top_p_filter(lgt, top_k=dec.top_k, top_p=dec.top_p)
+        samples = jax.random.categorical(k_samp, lgt, axis=-1).astype(jnp.int32)
+
+        row_ids = jnp.arange(K)[None, :]
+        casc_samples = jnp.where(row_ids < s.num_eog[:, None], ts.empty, samples)
+        casc_samples = jnp.where(row_ids == s.num_eog[:, None], ts.eog, casc_samples)
+        too_long = (s.y_pos + 1) > length_cap
+        span_cap = s.num_gen >= (dec.max_gen_per_span - K)
+        argmax0 = jnp.argmax(lg[:, 0], axis=-1)
+        trigger = (samples[:, 0] == ts.eog) | (argmax0 == ts.eog) | too_long | span_cap
+        plain = samples.at[:, 0].set(jnp.where(trigger, ts.eog, samples[:, 0]))
+        in_c1 = s.num_eog > 0
+        new_samples = jnp.where(in_c1[:, None], casc_samples, plain)
+        num_eog = jnp.where(in_c1, s.num_eog + 1, jnp.where(trigger, 1, 0))
+        s0 = plain[:, 0]
+        is_sil = jnp.any(silence[None, :] == s0[:, None], axis=1) & (s0 == s.prev_token)
+        consec = jnp.where(in_c1, s.consec_silence,
+                           jnp.where(is_sil, s.consec_silence + 1, 0))
+        prev = jnp.where(in_c1, s.prev_token, s0)
+
+        active = ~s.done
+        srow = jnp.arange(S)
+        cur = s.out[srow[:, None], jnp.arange(K)[None, :], s.out_len[:, None]]
+        out = s.out.at[srow[:, None], jnp.arange(K)[None, :],
+                       s.out_len[:, None]].set(
+            jnp.where(active[:, None], new_samples, cur))
+        out_len = jnp.where(active, s.out_len + 1, s.out_len)
+        num_gen = jnp.where(active, s.num_gen + 1, s.num_gen)
+
+        span_done = active & (num_eog == K)
+        span_end = jnp.where(
+            span_done[:, None]
+            & (jnp.arange(num_task)[None, :] == s.span_idx[:, None]),
+            out_len[:, None], s.span_end)
+        span_idx = jnp.where(span_done, s.span_idx + 1, s.span_idx)
+        done = s.done | (span_done & (span_idx >= num_task))
+        next_sent = sentinel_ids[jnp.minimum(span_idx, num_task - 1)]
+        next_tokens = jnp.where(span_done[:, None],
+                                jnp.broadcast_to(next_sent[:, None], (S, K)),
+                                new_samples)
+        num_gen = jnp.where(span_done, 0, num_gen)
+        num_eog = jnp.where(span_done, 0, num_eog)
+        num_eog = jnp.where(s.done, s.num_eog, num_eog)
+        prev = jnp.where(span_done, -1, jnp.where(s.done, s.prev_token, prev))
+        consec = jnp.where(span_done, 0,
+                           jnp.where(s.done, s.consec_silence, consec))
+        num_cfg = jnp.where(span_done, 1, jnp.where(s.done, s.num_cfg, num_cfg))
+        next_tokens = jnp.where(s.done[:, None], s.next_tokens, next_tokens)
+
+        return _S(cache=cache, key=key, y_pos=s.y_pos + 1,
+                  next_tokens=next_tokens, out=out, out_len=out_len,
+                  span_idx=span_idx, span_end=span_end, num_gen=num_gen,
+                  num_eog=num_eog, prev_token=prev, consec_silence=consec,
+                  num_cfg=num_cfg, done=done)
+
+    init = _S(
+        cache=gen0, key=rng,
+        y_pos=p_lens.astype(jnp.int32),
+        next_tokens=jnp.broadcast_to(sentinel_ids[0], (S, K)).astype(jnp.int32),
+        out=jnp.full((S, K, cap_total), ts.empty, jnp.int32),
+        out_len=jnp.zeros((S,), jnp.int32),
+        span_idx=jnp.zeros((S,), jnp.int32),
+        span_end=jnp.zeros((S, num_task), jnp.int32),
+        num_gen=jnp.zeros((S,), jnp.int32),
+        num_eog=jnp.zeros((S,), jnp.int32),
+        prev_token=jnp.full((S,), -1, jnp.int32),
+        consec_silence=jnp.zeros((S,), jnp.int32),
+        num_cfg=jnp.ones((S,), jnp.int32),
+        done=jnp.zeros((S,), bool),
+    )
+    final = jax.lax.while_loop(cond_fn, body, init)
+    return final.out, final.span_end, final.out_len
+
+
+def generate_multi(
+    params,
+    cfg: SSRModelConfig,
+    dec: DecodeConfig,
+    prompts,  # list of (x [Sx], y [K,T], mask_intervals)
+    rng: jax.Array,
+    *,
+    dtype_name: str = "bfloat16",
+    x_bucket: int = 64,
+    prefix_bucket: int = 128,
+):
+    """Decode several DIFFERENT utterances concurrently in one compiled loop
+    (a serving capability the single-sample reference lacks). All prompts
+    must have the same number of mask spans. Returns a list of per-prompt
+    (codes, marks, out_intervals, nm_intervals)."""
+    ts = cfg.tokens
+    K = cfg.n_codebooks
+    S = len(prompts)
+    built = []
+    for x, y, mask in prompts:
+        x = np.asarray(x, np.int32)
+        y = np.asarray(y, np.int32)
+        prefix, _, num_task, nm = patterns.build_inference_prefix(y, list(mask), ts)
+        built.append((x, y, prefix, num_task, nm))
+    num_task = built[0][3]
+    assert all(b[3] == num_task for b in built), \
+        "all prompts must share the same span count"
+    sentinels = np.arange(ts.mts, ts.mts + ts.max_n_spans, dtype=np.int32)
+
+    sx_pad = _bucket(max(max(len(b[0]) for b in built), 1), x_bucket)
+    p_pad = _bucket(max(max(b[2].shape[1] for b in built), 1), prefix_bucket)
+    cap_total = dec.max_gen_per_span * num_task
+
+    x_rows = np.full((S, sx_pad), cfg.text_pad_token, np.int32)
+    prefixes = np.full((S, K, p_pad), ts.empty, np.int32)
+    x_lens = np.zeros(S, np.int32)
+    p_lens = np.zeros(S, np.int32)
+    for i, (x, y, prefix, _, _) in enumerate(built):
+        x_rows[i, : len(x)] = x
+        prefixes[i, :, : prefix.shape[1]] = prefix
+        x_lens[i] = len(x)
+        p_lens[i] = prefix.shape[1]
+    if dec.aug_text:
+        if dec.cfg_pretrained:
+            uncond = np.full((S, sx_pad), cfg.text_pad_token, np.int32)
+            for i in range(S):
+                uncond[i, : x_lens[i]] = cfg.text_vocab_size - 1
+        else:
+            uncond = np.asarray(jax.random.randint(
+                jax.random.fold_in(rng, 7), (S, sx_pad), 0, cfg.n_text_tokens)
+            ).astype(np.int32)
+        xb = np.concatenate([x_rows, uncond], axis=0)
+        x_lens_r = np.concatenate([x_lens, x_lens])
+    else:
+        xb = x_rows
+        x_lens_r = x_lens
+
+    tmax = _bucket(sx_pad + p_pad + 8, 256)
+    pfx, key_banned = _prefill_multi_impl(
+        params, jnp.asarray(xb), jnp.asarray(prefixes),
+        jnp.asarray(x_lens_r), jnp.asarray(p_lens),
+        cfg=cfg, tmax=tmax, dtype_name=dtype_name,
+        cfg_pretrained=dec.cfg_pretrained, aug_text=dec.aug_text,
+    )
+    out, span_end, out_len = _generate_multi_impl(
+        params, pfx, key_banned, rng, jnp.asarray(sentinels),
+        jnp.asarray(x_lens), jnp.asarray(p_lens),
+        cfg=cfg, dec=dec, num_task=num_task, cap_total=cap_total,
+        aug_text=dec.aug_text, n_prompts=S, dtype_name=dtype_name,
+    )
+    out = np.asarray(out)
+    span_end = np.asarray(span_end)
+
+    results = []
+    for i, (x, y, prefix, _, nm) in enumerate(built):
+        gen_spans = []
+        start = 0
+        for t in range(num_task):
+            end = max(int(span_end[i, t]), start)
+            span = out[i, :, start:end]
+            start = end
+            if span.shape[1] >= K:
+                gen_spans.append(patterns.revert_delay_pattern(span)[:, :-1])
+            else:
+                gen_spans.append(np.zeros((K, 0), np.int32))
+        codes, marks, out_iv = patterns.splice_generated(y, nm, gen_spans,
+                                                         y.shape[1])
+        results.append((codes, marks, out_iv, nm))
+    return results

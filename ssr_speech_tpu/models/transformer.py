@@ -232,9 +232,14 @@ def transformer_decode_step_shared(
     h = h_t.astype(dtype)[:, None, :]
 
     idxp = jnp.arange(tp)[None, :]
-    pfx_banned = (idxp >= pfx.length) | (
-        (idxp >= key_banned[:, :1]) & (idxp < key_banned[:, 1:2])
-    )  # [G, Tp]
+    if key_banned.dtype == jnp.bool_:
+        # explicit per-group banned-key mask [G, Tp] (multi-prompt layout:
+        # ragged prompt/prefix lengths leave permanently-dead slots)
+        pfx_banned = key_banned
+    else:
+        pfx_banned = (idxp >= pfx.length) | (
+            (idxp >= key_banned[:, :1]) & (idxp < key_banned[:, 1:2])
+        )  # [G, Tp]
     pfx_bias = jnp.where(pfx_banned, -1e9, 0.0).astype(jnp.float32)
     gen_banned = jnp.arange(tg) > gpos  # [Tg]; current token stays visible
     gen_bias = jnp.where(gen_banned, -1e9, 0.0).astype(jnp.float32)
