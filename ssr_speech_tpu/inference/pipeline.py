@@ -185,6 +185,49 @@ def inference_batch(
     return outs
 
 
+def inference_multi(
+    lm_params,
+    cfg: SSRModelConfig,
+    dec: DecodeConfig,
+    phn2num: Dict[str, int],
+    text_tokenizer: TextTokenizer,
+    audio_tokenizer: AudioTokenizer,
+    jobs: Sequence[Dict],
+    use_watermark: bool = True,
+    seed: int = 1,
+) -> List[np.ndarray]:
+    """Serve several different utterances in ONE compiled decode loop
+    (capability beyond the single-sample reference). Each job:
+    {audio_path, target_text, mask_interval, tts?}. All jobs must share the
+    span count. Returns waveforms in job order."""
+    prompts = []
+    metas = []
+    for job in jobs:
+        x = text_to_ids(text_tokenizer, phn2num, job["target_text"])
+        codes, _, wav = _encode(audio_tokenizer, job["audio_path"])
+        prompts.append((x, codes[0], list(job["mask_interval"])))
+        metas.append((wav, bool(job.get("tts", False))))
+    results = decode_mod.generate_multi(
+        lm_params, cfg, dec, prompts, jax.random.PRNGKey(seed)
+    )
+    hop = audio_tokenizer.cfg.hop_length
+    outs = []
+    for (wav, tts), (out_codes, marks, out_iv, nm) in zip(metas, results):
+        if use_watermark:
+            new_wav = np.zeros((1, out_codes.shape[2] * hop, 1), np.float32)
+            for (os_, oe), (ns, ne) in zip(nm, out_iv):
+                os_, ns = max(os_, 0), max(ns, 0)
+                seg = wav[0, os_ * hop:oe * hop]
+                new_wav[0, ns * hop:ns * hop + seg.shape[0]] = seg
+            out = audio_tokenizer.wmdecode(out_codes, marks, new_wav)
+        else:
+            out = audio_tokenizer.decode(out_codes)
+        if tts:
+            out = out[:, out_iv[0][1] * hop:]
+        outs.append(out)
+    return outs
+
+
 def tts_trim_offset(
     gen_words: Sequence[WordTime], first_target_word: str, language: str = "en"
 ) -> float:

@@ -44,3 +44,41 @@ def test_multi_prompt_greedy_matches_single(params, aug_text):
         np.testing.assert_array_equal(codes_m, codes_1)
         np.testing.assert_array_equal(marks_m, marks_1)
         assert oi_m == oi_1 and nm_m == nm_1
+
+
+def test_inference_multi_pipeline(params, tmp_path):
+    """inference_multi: several jobs through encode -> multi-decode ->
+    watermark decode in one pass."""
+    from ssr_speech_tpu.config import CodecConfig, RVQConfig, SEANetConfig
+    from ssr_speech_tpu.data.tokenizer import AudioTokenizer, TextTokenizer
+    from ssr_speech_tpu.inference.pipeline import inference_multi
+    from ssr_speech_tpu.models.codec import wmencodec as wm
+    from ssr_speech_tpu.utils import audio as audio_io
+
+    codec_cfg = CodecConfig(
+        seanet=SEANetConfig(dimension=16, n_filters=2, n_residual_layers=1,
+                            ratios=(8, 5, 4, 2), lstm=1, norm="weight_norm",
+                            pad_mode="constant"),
+        rvq=RVQConfig(dimension=16, n_q=CFG.n_codebooks,
+                      bins=CFG.tokens.audio_vocab_size),
+    )
+    codec_params = wm.init_wmencodec(jax.random.PRNGKey(1), codec_cfg)
+    atok = AudioTokenizer(codec_params, codec_cfg)
+    ttok = TextTokenizer()
+    phn2num = {c: i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz_ ")}
+    rng = np.random.default_rng(0)
+    hop = codec_cfg.hop_length
+    jobs = []
+    for i, frames in enumerate([20, 28]):
+        path = str(tmp_path / f"in{i}.wav")
+        audio_io.write_wav(path, (rng.normal(size=(1, frames * hop)) * 0.1
+                                  ).astype(np.float32), codec_cfg.sample_rate)
+        jobs.append(dict(audio_path=path, target_text="hello world",
+                         mask_interval=[(5, 12)]))
+    dec = DecodeConfig(aug_text=False, top_k=5, stop_repetition=-1,
+                       max_gen_per_span=40, length_cap_mult=10)
+    outs = inference_multi(params, CFG, dec, phn2num, ttok, atok, jobs,
+                           use_watermark=True, seed=2)
+    assert len(outs) == 2
+    for out in outs:
+        assert out.ndim == 3 and np.isfinite(out).all()
