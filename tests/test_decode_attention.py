@@ -39,3 +39,23 @@ def test_kernel_ignores_garbage_beyond_pos():
     out2 = da.decode_attention(q, k2, v2, pos, ban, chunk=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                atol=1e-6)
+
+
+def test_int8_matmul_kernel_matches_reference():
+    """The int8 dequant matmul kernel (ops/int8_matmul.py) — kept as the
+    measured-out investigation artifact (docs/DESIGN.md) but still correct."""
+    from ssr_speech_tpu.ops import int8_matmul as m
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(256, 1024), scale=0.05), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 256)), jnp.bfloat16)
+    wq, s = m.quantize_weight(w)
+    got = m.int8_matmul(x, wq, s, block_n=256, interpret=True)
+    want = m.int8_matmul_reference(x, wq, s)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=1e-2)
+    # quantization error vs the original weights stays ~1%
+    full = x.astype(jnp.float32) @ w
+    rel = float(jnp.max(jnp.abs(want.astype(jnp.float32) - full))
+                / jnp.max(jnp.abs(full)))
+    assert rel < 0.02

@@ -333,3 +333,21 @@ def test_prefetch_iterator():
     with pytest.raises(ValueError):
         for _ in it:
             pass
+
+
+def test_dataset_corrupt_codes_file_dropped(tmp_path):
+    """Corrupt per-utterance files return None and are dropped at collate
+    (reference gigaspeech.py:234-266 fault tolerance)."""
+    root = make_synth_corpus(tmp_path, n=6)
+    # corrupt one codes file: wrong row count + garbage tokens
+    victim = os.path.join(root, "codes", "utt000.txt")
+    with open(victim, "w") as f:
+        f.write("12 garbage 13\n")  # 1 row instead of n_codebooks
+    dcfg = DataConfig(dataset_dir=root, encodec_folder_name="codes",
+                      audio_min_length=2.0, audio_max_length=10.0,
+                      text_min_length=5, num_buckets=2, max_num_tokens=4000)
+    ds = SpeechDataset(CFG, dcfg, MaskingConfig(), "train")
+    assert ds[0] is None  # utt000 sorts first in the manifest
+    batcher = BucketBatcher(ds, CFG, dcfg)
+    total = sum(b["x"].shape[0] for b in batcher(0))
+    assert total == len(ds) - 1  # dropped exactly the corrupt item
