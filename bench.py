@@ -90,4 +90,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # still emit the one-line contract on failure
+        print(json.dumps({
+            "metric": f"en TTS RTF — BENCH FAILED: {type(e).__name__}: {e}",
+            "value": 0.0,
+            "unit": "x realtime",
+            "vs_baseline": 0.0,
+        }))
+        raise
