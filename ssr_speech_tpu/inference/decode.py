@@ -764,7 +764,7 @@ def _prefill_multi_impl(
         uncond = jnp.arange(R) >= S
         dead = dead | (uncond[:, None] & (idx[None, :] >= 1)
                        & (idx[None, :] < sx))
-    banned = struct[None] | dead[:, :, None] * 0 | dead[:, None, :]
+    banned = struct[None] | dead[:, None, :]  # dead keys banned for all queries
     bias = jnp.where(banned, -1e9, 0.0)[:, None, :, :].astype(jnp.float32)
 
     cache = trf.init_kv_cache(cfg, R, tmax, dtype=dtype)
