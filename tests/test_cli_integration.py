@@ -168,3 +168,23 @@ def test_cli_zh_editing(artifacts, monkeypatch, tmp_path):
     import os
 
     assert os.path.isfile(os.path.join(artifacts["out"], "zh_edit.wav"))
+
+
+def test_detect_cli(artifacts, monkeypatch, capsys):
+    import json as _json
+
+    real = _patch_codec_cfg(monkeypatch)
+    try:
+        from ssr_speech_tpu.inference import detect_cli
+
+        detect_cli.main(["--codec_path", artifacts["codec"],
+                         "--audio", artifacts["wav"]])
+    finally:
+        import ssr_speech_tpu.inference.cli as cli_mod
+
+        cli_mod.load_codec = real
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    row = _json.loads(out)
+    assert row["frames"] > 0
+    assert 0.0 <= row["watermarked_fraction"] <= 1.0
+    assert isinstance(row["flagged"], bool)
