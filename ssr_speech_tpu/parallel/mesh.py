@@ -76,6 +76,22 @@ def ssr_param_specs(params: Dict[str, Any], fsdp: bool = False) -> Dict[str, Any
     )
 
 
+def shard_params_for_serving(mesh: Mesh, params: Dict[str, Any],
+                             fsdp: bool = False) -> Dict[str, Any]:
+    """Place LM params for tensor-parallel SERVING (multi-chip decode).
+
+    The decode path (``inference.decode``) is sharding-transparent: with
+    params placed on a tp mesh (qkv/ffn column-parallel, out/ffn2
+    row-parallel per :func:`ssr_param_specs`), XLA's sharding propagation
+    partitions the prefill and the whole decode while-loop — the KV cache
+    inherits the head-axis sharding from the qkv projections and attention
+    psum rides the ICI. Token streams are bit-exact vs single-device
+    (tests/test_sharded_decode.py). No decode-code changes are required:
+    computation follows the data.
+    """
+    return shard_tree(mesh, params, ssr_param_specs(params, fsdp=fsdp))
+
+
 def batch_specs() -> Dict[str, P]:
     """Batch sharded over dp on the leading axis."""
     return dict(
