@@ -72,7 +72,10 @@ def _ref_decoder(ref, cfg: CodecConfig):
     ).eval()
 
 
-@pytest.mark.parametrize("cfg", [SMALL], ids=["small"])
+FULL_P = pytest.param(FULL, id="full", marks=pytest.mark.slow)
+
+
+@pytest.mark.parametrize("cfg", [pytest.param(SMALL, id="small"), FULL_P])
 def test_encoder_parity(ref, cfg):
     import torch
 
@@ -80,7 +83,7 @@ def test_encoder_parity(ref, cfg):
     enc = _ref_encoder(ref, cfg)
     params = convert.convert_seanet_encoder(_sd(enc), "", cfg)
     # strip the leading "." artifacts: prefix "" produces keys like ".model.0"
-    T = 4 * cfg.seanet.hop_length + 13
+    T = (4 if cfg is SMALL else 2) * cfg.seanet.hop_length + 13
     x = np.random.default_rng(0).normal(size=(2, 1, T)).astype(np.float32)
     with torch.no_grad():
         want = enc(torch.from_numpy(x)).numpy()
@@ -88,7 +91,7 @@ def test_encoder_parity(ref, cfg):
     np.testing.assert_allclose(got.transpose(0, 2, 1), want, atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("cfg", [SMALL], ids=["small"])
+@pytest.mark.parametrize("cfg", [pytest.param(SMALL, id="small"), FULL_P])
 def test_decoder_parity(ref, cfg):
     import torch
 
@@ -207,3 +210,49 @@ def test_causal_codec_parity(ref):
     got_wav = np.asarray(seanet.decode(dp, z.transpose(0, 2, 1), sn))
     np.testing.assert_allclose(got_wav.transpose(0, 2, 1), want_wav,
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_roundtrip_mae_demo_wav_full_geometry(ref):
+    """BASELINE.md protocol #1 at the SHIPPED geometry: encode->decode
+    round-trip on demo/84_121550_000074_000000.wav, JAX vs torch with the
+    same (converted) weights. Codes must agree and the waveform MAE must be
+    far below the 1e-3 target."""
+    import torch
+
+    from ssr_speech_tpu.utils import audio as audio_io
+
+    cfg = FULL
+    torch.manual_seed(7)
+    enc = _ref_encoder(ref, cfg)
+    dec = _ref_decoder(ref, cfg)
+    rvq = ref.vq.ResidualVectorQuantizer(
+        dimension=cfg.rvq.dimension, n_q=cfg.rvq.n_q, bins=cfg.rvq.bins,
+        kmeans_init=False,
+    ).eval()
+    ep = convert.convert_seanet_encoder(_sd(enc), "", cfg)
+    dp = convert.convert_seanet_decoder(_sd(dec), "", cfg)
+    embed = np.stack([_sd(rvq)[f"vq.layers.{k}._codebook.embed"]
+                      for k in range(cfg.rvq.n_q)])
+    qp = dict(embed=embed)
+
+    wav = audio_io.load_for_codec("/root/reference/demo/84_121550_000074_000000.wav",
+                                  cfg.sample_rate, cfg.hop_length)
+    wav = wav[:, : 2 * cfg.sample_rate]  # 2 s keeps the torch CPU pass fast
+    x_t = torch.from_numpy(wav.transpose(0, 2, 1))  # [1, 1, T]
+
+    with torch.no_grad():
+        lat = enc(x_t)
+        want_codes = rvq.encode(lat).numpy()
+        want_wav = dec(rvq.decode(torch.from_numpy(want_codes))).numpy()
+
+    got_lat = np.asarray(seanet.encode(ep, wav, cfg.seanet))
+    got_codes = np.asarray(q.rvq_encode(qp, got_lat))
+    np.testing.assert_array_equal(got_codes, want_codes)
+    got_wav = np.asarray(
+        seanet.decode(dp, q.rvq_decode(qp, got_codes), cfg.seanet))
+
+    mae = float(np.mean(np.abs(got_wav.transpose(0, 2, 1) - want_wav)))
+    assert mae < 1e-3, f"round-trip MAE {mae} vs 1e-3 target"
+    np.testing.assert_allclose(got_wav.transpose(0, 2, 1), want_wav,
+                               atol=5e-4, rtol=1e-3)
