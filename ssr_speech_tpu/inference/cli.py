@@ -152,6 +152,15 @@ def main(argv=None):
         words = WhisperAligner(args.whisper_model).transcribe(args.orig_audio)
     else:
         raise SystemExit("need --alignment_file or --whisper_model")
+    # digits -> spelled-out words on the alignment AND both transcripts:
+    # phonemizing "42" vs "forty-two" changes the token stream (the reference
+    # normalizes every ASR segment, inference_v2.py:45-53,90-94)
+    from ..utils.text_norm import normalize_aligned_words, replace_numbers_with_words
+
+    words = normalize_aligned_words(words)
+    args.target_transcript = replace_numbers_with_words(args.target_transcript)
+    if args.orig_transcript:
+        args.orig_transcript = replace_numbers_with_words(args.orig_transcript)
     orig_transcript = args.orig_transcript or " ".join(w for w, _, _ in words)
     if args.language == "zh":
         try:  # traditional -> simplified, reference inference_v2.py:114-122
@@ -175,10 +184,9 @@ def main(argv=None):
     if args.tts:
         target_text = orig_transcript + " " + args.target_transcript \
             if args.language == "en" else orig_transcript + args.target_transcript
-        n_words, cut = pipeline.cut_prompt_for_tts(words, args.prompt_length)
-        mask_intervals = [(int(cut * args.codec_sr), int(cut * args.codec_sr))]
-        # actually TTS masks from prompt end to audio end; reference cuts the
-        # audio at the prompt boundary and masks pure future
+        _, cut = pipeline.cut_prompt_for_tts(words, args.prompt_length)
+        # TTS masks from the prompt boundary to audio end (the reference cuts
+        # the audio at the prompt and masks pure future, inference_v2.py:324)
         mask_intervals = [(int(cut * args.codec_sr),
                            int(audio_dur * args.codec_sr))]
     else:

@@ -35,7 +35,22 @@ WordTime = Tuple[str, float, float]  # word, start sec, end sec
 
 
 def text_to_ids(tokenizer: TextTokenizer, phn2num: Dict[str, int], text: str) -> np.ndarray:
-    toks = [phn2num[p] for p in tokenize_text(tokenizer, text) if p in phn2num]
+    """Phonemize and map to ids, dropping OOV phones like the reference
+    (inference_scale.py:20-34) — but hard-fail when most phones are OOV:
+    that means the tokenizer's phone alphabet does not match the bundle's
+    ``phn2num`` (typically the char fallback running against a real
+    espeak-trained checkpoint), which would silently produce garbage audio."""
+    phones = tokenize_text(tokenizer, text)
+    toks = [phn2num[p] for p in phones if p in phn2num]
+    if phones and len(toks) < 0.5 * len(phones):
+        hint = (" The espeak phonemizer is unavailable and the char fallback "
+                "is active — install espeak-ng/phonemizer to match this "
+                "bundle." if getattr(tokenizer, "backend", None) is None
+                else "")
+        raise RuntimeError(
+            f"{len(phones) - len(toks)}/{len(phones)} phones missing from the "
+            f"bundle's phn2num — tokenizer/bundle mismatch.{hint}"
+        )
     return np.asarray(toks, np.int32)
 
 
