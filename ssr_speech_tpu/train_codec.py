@@ -49,6 +49,17 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--eval_every", type=int, default=500)
+    p.add_argument("--generate_every", type=int, default=0,
+                   help="store watermark reconstructions every N steps "
+                        "(0 = only at end of training)")
+    p.add_argument("--samples_dir", default=None,
+                   help="SampleManager root (default <exp_dir>/samples)")
+    p.add_argument("--visqol_bin", default=None,
+                   help="path to a google/visqol install for eval-stage "
+                        "MOS-LQO (optional, like the reference)")
+    p.add_argument("--config_json", default=None,
+                   help="codec geometry as a CodecConfig JSON file "
+                        "(default: shipped encodec_large_nq4_s320)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("train_codec")
@@ -64,7 +75,13 @@ def main(argv=None):
     from .training import codec_trainer
     from .utils import checkpoint as ckpt
 
-    cfg = CodecConfig()
+    if args.config_json:
+        from .config import codec_config_from_json
+
+        with open(args.config_json) as f:
+            cfg = codec_config_from_json(f.read())
+    else:
+        cfg = CodecConfig()
     pretrained = None
     if args.codec_path:
         if args.codec_path.endswith((".th", ".pth", ".pt")):
@@ -89,7 +106,36 @@ def main(argv=None):
     hop = cfg.hop_length
     frames = int(args.segment_duration * cfg.sample_rate) // hop
 
+    from .utils.sample_manager import SampleManager
+
+    samples = SampleManager(args.samples_dir
+                            or os.path.join(args.exp_dir, "samples"))
+    visqol = None
+    if args.visqol_bin:
+        from .utils.visqol import ViSQOL
+
+        visqol = ViSQOL(args.visqol_bin, mode="speech")
+
+    def generate_stage(epoch: int, step: int):
+        # generate stage (reference solvers/base.py:478-487): store
+        # watermark reconstructions of an eval batch with provenance
+        wav_eval = np.asarray(next(ds.batches(args.batch_size, 1)))
+        recon = np.asarray(codec_trainer.reconstruct(
+            state, cfg, jnp.asarray(wav_eval)))
+        for i in range(recon.shape[0]):
+            samples.add_sample(recon[i], cfg.sample_rate, epoch=epoch,
+                               conditioning=dict(step=step, index=i),
+                               prompt_wav=wav_eval[i])
+        if visqol is not None:
+            score = visqol([w[:, 0] for w in wav_eval],
+                           [r[:, 0] for r in recon], sr=cfg.sample_rate)
+            logger.info("generate stage: %d samples, visqol %.3f",
+                        recon.shape[0], score)
+        else:
+            logger.info("generate stage: %d samples stored", recon.shape[0])
+
     step = 0
+    epoch = 0
     for epoch in range(args.epochs):
         for wav in ds.batches(args.batch_size, args.updates):
             labels, keep = wm.sample_watermark_mask(rng, wav.shape[0], frames, hop)
@@ -104,6 +150,8 @@ def main(argv=None):
                 wav_eval = jnp.asarray(next(ds.batches(args.batch_size, 1)))
                 sisnr = float(codec_trainer.evaluate_sisnr(state, cfg, wav_eval))
                 logger.info("eval si-snr %.2f dB", sisnr)
+            if args.generate_every and step % args.generate_every == 0:
+                generate_stage(epoch, step)
             if step % args.save_every == 0:
                 full = dict(encoder=state.frozen["encoder"],
                             decoder=state.frozen["decoder"],
@@ -115,6 +163,8 @@ def main(argv=None):
                     config=dataclasses.asdict(cfg),
                     step=step,
                 )
+    if step:
+        generate_stage(epoch, step)
     logger.info("done: %d steps", step)
 
 

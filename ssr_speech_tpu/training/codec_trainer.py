@@ -307,14 +307,22 @@ def kmeans_init_codebooks(key, cfg: CodecConfig, embeddings: jnp.ndarray,
     return jnp.stack(books)
 
 
+def reconstruct(state: CodecTrainState, cfg: CodecConfig,
+                wav: jnp.ndarray) -> jnp.ndarray:
+    """Watermark-decoder reconstruction of a batch (clean labels) — the
+    generate-stage payload (reference solvers/base.py:478-487 runs a
+    ``generate`` stage whose samples the SampleManager stores)."""
+    emb = seanet.encode(state.frozen["encoder"], wav, cfg.seanet)
+    latents, _ = q.rvq_quantize(state.frozen["quantizer"], emb)
+    labels = jnp.zeros((wav.shape[0], latents.shape[1]), jnp.int32)
+    y_pred, _ = seanet.wm_decode(state.wm_params, latents, labels, wav, cfg.seanet)
+    return y_pred[:, : wav.shape[1]]
+
+
 def evaluate_sisnr(state: CodecTrainState, cfg: CodecConfig,
                    wav: jnp.ndarray) -> jnp.ndarray:
     """Eval-stage SI-SNR of the watermark reconstruction
     (wmcompression.py:196-224)."""
     from ..utils.metrics import si_snr
 
-    emb = seanet.encode(state.frozen["encoder"], wav, cfg.seanet)
-    latents, _ = q.rvq_quantize(state.frozen["quantizer"], emb)
-    labels = jnp.zeros((wav.shape[0], latents.shape[1]), jnp.int32)
-    y_pred, _ = seanet.wm_decode(state.wm_params, latents, labels, wav, cfg.seanet)
-    return jnp.mean(si_snr(y_pred[:, : wav.shape[1]], wav))
+    return jnp.mean(si_snr(reconstruct(state, cfg, wav), wav))

@@ -94,3 +94,43 @@ def test_prep_encode_cli(tmp_path):
     assert all(0 <= v < TINY.rvq.bins for v in vals)
     # frame count = duration * sample_rate / hop
     assert len(vals) == int(1.0 * TINY.sample_rate) // TINY.hop_length
+
+
+@pytest.mark.slow
+def test_train_codec_main_with_generate_stage(tmp_path):
+    """Full train_codec.main at tiny geometry: a few GAN steps, bundle save,
+    and the generate stage (SampleManager + stub-ViSQOL, reference
+    solvers/base.py:478-487)."""
+    import dataclasses
+    import os
+    import stat
+
+    from ssr_speech_tpu import train_codec
+    from tests.test_visqol import STUB
+
+    mf = make_manifest(tmp_path, n=2, dur=1.0)
+    exp = str(tmp_path / "exp")
+    # stub visqol install
+    vq = tmp_path / "visqol"
+    (vq / "bazel-bin").mkdir(parents=True)
+    (vq / "model").mkdir()
+    exe = vq / "bazel-bin" / "visqol"
+    exe.write_text(STUB)
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+
+    cfg_json = str(tmp_path / "codec.json")
+    with open(cfg_json, "w") as f:
+        json.dump(dataclasses.asdict(TINY), f)
+
+    train_codec.main([
+        "--manifest", mf, "--exp_dir", exp, "--batch_size", "2",
+        "--segment_duration", "0.5", "--updates", "2", "--epochs", "1",
+        "--save_every", "2", "--eval_every", "2", "--generate_every", "2",
+        "--config_json", cfg_json, "--visqol_bin", str(vq),
+    ])
+    assert os.path.exists(os.path.join(exp, "codec_bundle.pkl"))
+    sample_dirs = os.listdir(os.path.join(exp, "samples"))
+    assert any(d.startswith("epoch_") for d in sample_dirs)
+    epoch_dir = os.path.join(exp, "samples", sample_dirs[0])
+    wavs = [f for f in os.listdir(epoch_dir) if f.endswith(".wav")]
+    assert wavs, "generate stage stored no samples"
