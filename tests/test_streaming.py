@@ -1,0 +1,90 @@
+"""Streaming (chunked causal) codec inference == offline pass.
+
+The reference carries streaming state through its module tree
+(``modules/streaming.py:20-131``); here state is an explicit pytree and each
+chunk is one jitted step. The contract: concatenated streamed output equals
+the offline causal pass on a long waveform (codes bit-exact, waveform to
+float32 tolerance), for several chunk sizes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssr_speech_tpu.config import CodecConfig, RVQConfig, SEANetConfig
+from ssr_speech_tpu.models.codec import quantize as q
+from ssr_speech_tpu.models.codec import seanet
+from ssr_speech_tpu.models.codec import streaming as st
+from ssr_speech_tpu.models.codec import wmencodec as wm
+
+CFG = CodecConfig(
+    seanet=SEANetConfig(dimension=16, n_filters=2, n_residual_layers=1,
+                        ratios=(8, 5, 4, 2), lstm=2, norm="weight_norm",
+                        causal=True, pad_mode="constant",
+                        trim_right_ratio=1.0),
+    rvq=RVQConfig(dimension=16, n_q=2, bins=17),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = wm.init_wmencodec(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(0)
+    T = 10 * CFG.sample_rate  # the VERDICT target: streamed == offline, 10 s
+    wav = (rng.normal(size=(1, T, 1)) * 0.1).astype(np.float32)
+    emb = seanet.encode(params["encoder"], wav, CFG.seanet)
+    codes = np.asarray(q.rvq_encode(params["quantizer"], emb))
+    wav_off = np.asarray(seanet.decode(
+        params["decoder"], q.rvq_decode(params["quantizer"],
+                                        jnp.asarray(codes)), CFG.seanet))
+    return params, wav, codes, wav_off
+
+
+@pytest.mark.parametrize("chunk_sec", [0.1, 0.5, 2.0])
+def test_streaming_encode_matches_offline(setup, chunk_sec):
+    params, wav, codes_off, _ = setup
+    sc = st.StreamingCodec(params, CFG)
+    C = int(chunk_sec * CFG.sample_rate)
+    assert C % CFG.hop_length == 0
+    out = [np.asarray(sc.encode_chunk(jnp.asarray(wav[:, i:i + C])))
+           for i in range(0, wav.shape[1], C)]
+    np.testing.assert_array_equal(np.concatenate(out, axis=2), codes_off)
+
+
+@pytest.mark.parametrize("chunk_frames", [5, 25, 100])
+def test_streaming_decode_matches_offline(setup, chunk_frames):
+    params, _, codes, wav_off = setup
+    sc = st.StreamingCodec(params, CFG)
+    F = codes.shape[2]
+    out = [np.asarray(sc.decode_chunk(jnp.asarray(codes[:, :, i:i + chunk_frames])))
+           for i in range(0, F, chunk_frames)]
+    got = np.concatenate(out, axis=1)
+    assert got.shape == wav_off.shape
+    np.testing.assert_allclose(got, wav_off, atol=2e-6, rtol=1e-5)
+
+
+def test_streaming_roundtrip_live(setup):
+    """Full live loop: encode a chunk, immediately decode it — the shape a
+    real-time client uses. Output equals the offline round-trip."""
+    params, wav, codes, wav_off = setup
+    sc = st.StreamingCodec(params, CFG)
+    C = CFG.hop_length * 10
+    outs = []
+    for i in range(0, wav.shape[1], C):
+        ck = sc.encode_chunk(jnp.asarray(wav[:, i:i + C]))
+        outs.append(np.asarray(sc.decode_chunk(ck)))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, wav_off, atol=2e-6, rtol=1e-5)
+
+
+def test_streaming_rejects_non_causal():
+    bad = CodecConfig(
+        seanet=SEANetConfig(dimension=16, n_filters=2, n_residual_layers=1,
+                            ratios=(4, 2), lstm=1, causal=False),
+        rvq=RVQConfig(dimension=16, n_q=2, bins=7),
+    )
+    with pytest.raises(AssertionError):
+        st.init_encoder_state(bad.seanet)
+    with pytest.raises(AssertionError):
+        st.init_decoder_state(bad.seanet)
