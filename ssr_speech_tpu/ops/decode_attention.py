@@ -125,8 +125,8 @@ def decode_attention(
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[

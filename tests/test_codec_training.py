@@ -92,6 +92,7 @@ def test_balancer_scales_to_unit_norm():
     np.testing.assert_allclose(np.asarray(cot), np.asarray(want), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_codec_train_step_updates_only_wmdecoder():
     key = jax.random.PRNGKey(0)
     state, opts = codec_trainer.init_codec_train_state(key, TINY, lr=1e-3)
@@ -132,6 +133,7 @@ def test_watermark_mask_sampler():
         assert frac <= 0.81
 
 
+@pytest.mark.slow
 def test_msd_mpd_discriminators():
     from ssr_speech_tpu.training.discriminators import (
         get_adversary, init_mpd, init_msd, mpd_forward, msd_forward,
@@ -154,6 +156,7 @@ def test_msd_mpd_discriminators():
     assert len(lg) == 5
 
 
+@pytest.mark.slow
 def test_compression_train_step_trains_autoencoder():
     key = jax.random.PRNGKey(2)
     state, opts = codec_trainer.init_compression_train_state(key, TINY, lr=1e-3)

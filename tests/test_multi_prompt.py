@@ -46,6 +46,7 @@ def test_multi_prompt_greedy_matches_single(params, aug_text):
         assert oi_m == oi_1 and nm_m == nm_1
 
 
+@pytest.mark.slow
 def test_inference_multi_pipeline(params, tmp_path):
     """inference_multi: several jobs through encode -> multi-decode ->
     watermark decode in one pass."""

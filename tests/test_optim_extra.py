@@ -63,6 +63,7 @@ def test_eve_matches_reference():
                                    atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_metrics_writer(tmp_path):
     w = MetricsWriter(str(tmp_path))
     w.add_scalars(1, dict(loss=0.5, acc=0.9), prefix="train/")

@@ -47,6 +47,7 @@ def test_sharded_forward_matches_single_device(dp, tp):
     np.testing.assert_allclose(float(got_acc), float(want_acc), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_single_device():
     if len(jax.devices()) < 8:
         pytest.skip("not enough devices")

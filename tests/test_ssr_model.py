@@ -43,6 +43,7 @@ def make_batch(rng, B=2, sx=12, sy=40):
     )
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_finite(params):
     batch = make_batch(np.random.default_rng(0))
     out = ssr_model.ssr_forward(params, CFG, batch)
@@ -51,6 +52,7 @@ def test_forward_shapes_and_finite(params):
     assert float(out["effective_ntoken"]) > 0
 
 
+@pytest.mark.slow
 def test_forward_invariant_to_padding(params):
     """Extending pad must not change the loss (mask correctness)."""
     batch = make_batch(np.random.default_rng(1))
@@ -70,6 +72,7 @@ def test_forward_invariant_to_padding(params):
     np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_prefill_matches_full_forward(params):
     """Cached decode must reproduce the full (uncached) forward output."""
     rng = np.random.default_rng(2)

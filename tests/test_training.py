@@ -137,6 +137,7 @@ def test_eden_schedule_matches_reference():
         np.testing.assert_allclose(float(sched(step)), 0.05 * fb * fe * warm, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_equivalence():
     """accum=2 over a split batch must equal accum=1 over the full batch
     (ScaledAdam grads are summed, reference trainer.py:89-144)."""
@@ -167,6 +168,7 @@ def test_gradient_accumulation_equivalence():
     assert np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
 def test_nan_batch_skipped():
     tcfg = TrainConfig(precision="float32",
                        optim=OptimConfig(optimizer_name="scaledadam",
@@ -251,6 +253,7 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8dev():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
@@ -278,6 +281,7 @@ def test_batcher_resume_skips_consumed_batches(tmp_path):
     np.testing.assert_array_equal(resumed[0]["x"], full[2]["x"])
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_loop(tmp_path):
     """Full Trainer: synthetic corpus -> a few steps -> validate + bundles
     (the reference trainer loop, steps/trainer.py:57-244)."""
