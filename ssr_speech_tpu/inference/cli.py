@@ -72,59 +72,17 @@ def read_alignment(path: str) -> List[Tuple[str, float, float]]:
 
 
 def load_lm(path: str):
-    """Load an LM bundle: ours (.pkl) or the reference's torch bundle."""
-    from ..config import SSRModelConfig, TokenSpace
-    from ..models import convert as cvt
-    from ..utils import checkpoint as ckpt
+    """Load an LM bundle: ours (.pkl), the reference's torch bundle, a URL,
+    or a HF hub id (``models.pretrained``)."""
+    from ..models import pretrained
 
-    if path.endswith((".pth", ".th", ".pt")):
-        import torch
-
-        bundle = torch.load(path, map_location="cpu", weights_only=False)
-        args = bundle["config"]
-        ns = vars(args) if not isinstance(args, dict) else args
-        cfg = SSRModelConfig(
-            d_model=ns["d_model"], nhead=ns["nhead"],
-            num_layers=ns["num_decoder_layers"],
-            n_codebooks=ns["n_codebooks"],
-            audio_embedding_dim=ns["audio_embedding_dim"],
-            text_vocab_size=ns["text_vocab_size"],
-            tokens=TokenSpace(audio_vocab_size=int(ns["audio_vocab_size"]),
-                              max_n_spans=ns["max_n_spans"]),
-        )
-        sd = {k: v.numpy() for k, v in bundle["model"].items()}
-        params = cvt.convert_ssr_lm(sd, cfg)
-        return params, cfg, bundle["phn2num"]
-    from ..config import ssr_config_from_json
-    import json
-
-    bundle = ckpt.load_bundle(path)
-    cfg = ssr_config_from_json(json.dumps(bundle["model_config"]))
-    return bundle["params"], cfg, bundle["phn2num"]
+    return pretrained.load_lm(path)
 
 
 def load_codec(path: str):
-    import json
+    from ..models import pretrained
 
-    from ..config import CodecConfig, codec_config_from_json
-    from ..data.tokenizer import AudioTokenizer
-    from ..models import convert as cvt
-    from ..utils import checkpoint as ckpt
-
-    cfg = CodecConfig()
-    if path.endswith((".th", ".pth", ".pt")):
-        sd = cvt.load_torch_file(path)
-        # audiocraft export wraps the state dict (checkpoint.py 'best_state')
-        for key in ("best_state", "model", "state_dict"):
-            if isinstance(sd, dict) and key in sd:
-                sd = sd[key]
-        params = cvt.convert_wmencodec(sd, cfg)
-    else:
-        bundle = ckpt.load_bundle(path)
-        params = bundle["params"]
-        if bundle.get("config") is not None:  # honor the stored geometry
-            cfg = codec_config_from_json(json.dumps(bundle["config"]))
-    return AudioTokenizer(params, cfg)
+    return pretrained.load_codec(path)
 
 
 def main(argv=None):

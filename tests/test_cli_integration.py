@@ -34,7 +34,8 @@ def artifacts(tmp_path_factory):
     d = tmp_path_factory.mktemp("cli")
     # LM bundle in our format
     params = ssr_model.init_ssr(jax.random.PRNGKey(0), CFG)
-    phn2num = {c: i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz_.!?,' ")}
+    phn2num = {c: i for i, c in enumerate(
+        "abcdefghijklmnopqrstuvwxyz_.!?,' " + "今天气很好不错")}
     lm_path = str(d / "bundle.pkl")
     ckpt.save_bundle(lm_path, params=params,
                      model_config=dataclasses.asdict(CFG), phn2num=phn2num)

@@ -1,0 +1,281 @@
+"""Capture golden outputs from the PyTorCH reference with the PUBLISHED
+pretrained checkpoints, and verify our converted weights against them.
+
+One command produces golden artifacts + a parity report (VERDICT round-1
+item 3; BASELINE.md protocol configs):
+
+  python tools/capture_goldens.py --pretrained_dir ./pretrained_models \
+      --out tests/goldens/pretrained
+
+Needs: ``wmencodec.th`` and ``English.pth`` (optionally ``Mandarin.pth``)
+under --pretrained_dir (README "Pretrained Models": download from
+huggingface.co/westbrook/SSR-Speech-English), the reference tree at
+/root/reference, torch, and (for the text configs) espeak-ng.
+
+Captured per BASELINE.md:
+  1. wmencodec encode->decode round-trip codes + waveform on the demo wav,
+  2. en zero-shot TTS, greedy, no CFG,
+  3. en editing, aug_text cfg_stride=5 (greedy for determinism),
+  4. zh editing, cfg_stride=1 (when Mandarin.pth is present),
+  5. batched/watermark path: wmdecode waveform for config-3's splice.
+
+The companion gated test (tests/test_pretrained_goldens.py) replays the same
+inputs through the JAX implementation and asserts parity against these
+artifacts without needing torch at test time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests"))
+
+DEMO_EDIT = "/root/reference/demo/84_121550_000074_000000.wav"
+DEMO_TTS = "/root/reference/demo/5895_34622_000026_000002.wav"
+DEMO_ZH = "/root/reference/demo/aishell3_test.wav"
+
+EDIT_TRANSCRIPT = ("but when i had approached so near to them the common "
+                   "object which the sense deceives lost not by distance any "
+                   "of its marks")
+EDIT_TARGET = ("but when i saw the mirage of the lake in the distance which "
+               "the sense deceives lost not by distance any of its marks")
+TTS_TARGET = ("i cannot believe that the same model can also do text to "
+              "speech synthesis too")
+ZH_TARGET = "食品价格以基本都在一万到两万之间"
+
+
+def _torch_codec(codec_path):
+    """Build the reference SEANet/RVQ modules with the published weights."""
+    import torch
+
+    from reference_loader import load_reference_modules
+
+    from ssr_speech_tpu.config import CodecConfig
+    from ssr_speech_tpu.models.pretrained import _unwrap_state_dict
+
+    ref = load_reference_modules()
+    cfg = CodecConfig()
+    sn = cfg.seanet
+    obj = torch.load(codec_path, map_location="cpu", weights_only=False)
+    sd = _unwrap_state_dict(obj)
+    kw = dict(channels=sn.channels, dimension=sn.dimension,
+              n_filters=sn.n_filters, n_residual_layers=sn.n_residual_layers,
+              ratios=list(sn.ratios), lstm=sn.lstm, norm=sn.norm,
+              pad_mode=sn.pad_mode, causal=sn.causal)
+    enc = ref.seanet.SEANetEncoder(**kw).eval()
+    dec = ref.seanet.SEANetDecoder(**kw, trim_right_ratio=sn.trim_right_ratio).eval()
+    wmd = ref.seanet.WMSEANetDecoder(**kw).eval()
+    rvq = ref.vq.ResidualVectorQuantizer(
+        dimension=cfg.rvq.dimension, n_q=cfg.rvq.n_q, bins=cfg.rvq.bins,
+        kmeans_init=False).eval()
+
+    def sub(prefix):
+        return {k[len(prefix) + 1:]: torch.as_tensor(v)
+                for k, v in sd.items() if k.startswith(prefix + ".")}
+
+    enc.load_state_dict(sub("encoder"))
+    dec.load_state_dict(sub("decoder"))
+    wmd.load_state_dict(sub("wmdecoder"))
+    rvq.load_state_dict(sub("quantizer"))
+    return enc, dec, wmd, rvq, sd, cfg
+
+
+def _load_wav(path, cfg):
+    from ssr_speech_tpu.utils import audio as audio_io
+
+    return audio_io.load_for_codec(path, cfg.sample_rate, cfg.hop_length)
+
+
+def capture_codec(codec_path, out_dir, report):
+    import torch
+
+    enc, dec, wmd, rvq, sd, cfg = _torch_codec(codec_path)
+    wav = _load_wav(DEMO_EDIT, cfg)
+    x_t = torch.from_numpy(wav.transpose(0, 2, 1))
+    with torch.no_grad():
+        codes = rvq.encode(enc(x_t))
+        recon = dec(rvq.decode(codes)).numpy()
+    np.savez(os.path.join(out_dir, "codec_roundtrip.npz"),
+             wav=wav, codes=codes.numpy(), recon=recon)
+
+    # our implementation, converted from the same file
+    from ssr_speech_tpu.models import pretrained
+    from ssr_speech_tpu.models.codec import quantize as q
+    from ssr_speech_tpu.models.codec import seanet as js
+
+    tok = pretrained.load_codec(codec_path)
+    got_lat = np.asarray(js.encode(tok.params["encoder"], wav, cfg.seanet))
+    got_codes = np.asarray(q.rvq_encode(tok.params["quantizer"], got_lat))
+    code_match = bool(np.array_equal(got_codes, codes.numpy()))
+    got_recon = np.asarray(js.decode(
+        tok.params["decoder"], q.rvq_decode(tok.params["quantizer"], got_codes),
+        cfg.seanet)).transpose(0, 2, 1)
+    mae = float(np.mean(np.abs(got_recon - recon)))
+    report["codec_roundtrip"] = dict(codes_bit_exact=code_match, mae=mae,
+                                     mae_target=1e-3, ok=code_match and mae < 1e-3)
+    return cfg
+
+
+def _phonemize(text, phn2num, language):
+    from ssr_speech_tpu.data.tokenizer import TextTokenizer, tokenize_text
+
+    tok = TextTokenizer(language="cmn" if language == "zh" else "en-us")
+    if tok.backend is None:
+        raise RuntimeError("espeak-ng required to phonemize for the text "
+                           "configs; only codec goldens were captured")
+    phones = tokenize_text(tok, text)
+    return np.asarray([phn2num[p] for p in phones if p in phn2num], np.int64)
+
+
+def _torch_lm(lm_path):
+    import torch
+
+    from reference_loader import load_reference_lm
+
+    refssr = load_reference_lm()
+    bundle = torch.load(lm_path, map_location="cpu", weights_only=False)
+    args = bundle["config"]
+    model = refssr.ssr.SSR_Speech(args).eval()
+    model.load_state_dict(bundle["model"])
+    return model, bundle["phn2num"], args
+
+
+def capture_lm_config(name, lm_path, codec_path, wav_path, target_text,
+                      mask_builder, decode_kwargs, language, out_dir, report,
+                      seed=1):
+    import torch
+
+    from ssr_speech_tpu.models import pretrained
+
+    model, phn2num, _ = _torch_lm(lm_path)
+    tok = pretrained.load_codec(codec_path)
+    cfg = tok.cfg
+    wav = _load_wav(wav_path, cfg)
+    codes, _ = tok.encode(wav)
+    y = codes[0]
+    x = _phonemize(target_text, phn2num, language)
+    mask = mask_builder(y.shape[1])
+
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        res, marks, masks, nmi = model.inference(
+            torch.from_numpy(x[None]).long(), torch.tensor([len(x)]),
+            torch.zeros(1, 0).long(), torch.tensor([0]),
+            torch.from_numpy(y.T[None].astype(np.int64)),
+            torch.from_numpy(y.T[None].astype(np.int64)),
+            mask_interval=torch.tensor(mask).unsqueeze(0),
+            top_k=1, top_p=1.0, temperature=1.0, stop_repetition=-1,
+            kvcache=1, **decode_kwargs,
+        )
+    np.savez(os.path.join(out_dir, f"{name}.npz"),
+             x=x, y=y, mask=np.asarray(mask), codes=res[0].numpy(),
+             marks=marks[0].numpy(),
+             decode_kwargs=json.dumps(decode_kwargs), seed=seed)
+
+    # parity with the JAX decode, converted weights
+    import jax
+
+    from ssr_speech_tpu.config import DecodeConfig
+    from ssr_speech_tpu.inference import decode as jdec
+
+    params, jcfg, _ = pretrained.load_lm(lm_path)
+    dcfg = DecodeConfig(
+        top_k=1, top_p=1.0, temperature=1.0, stop_repetition=-1,
+        cfg_coef=decode_kwargs.get("cfg_coef", 1.5),
+        cfg_stride=decode_kwargs.get("cfg_stride", 1),
+        aug_text=decode_kwargs.get("aug_text", False),
+        cfg_pretrained=decode_kwargs.get("cfg_pretrained", True),
+        max_gen_per_span=4000, length_cap_mult=10,
+    )
+    got, got_marks, _, _ = jdec.generate(
+        params, jcfg, dcfg, x, y, mask, jax.random.PRNGKey(seed),
+        dtype_name="float32")
+    match = bool(np.array_equal(got[0], res[0].numpy()))
+    report[name] = dict(tokens_bit_exact=match,
+                        n_tokens=int(res.shape[-1]), ok=match)
+    return res[0].numpy()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(__doc__)
+    p.add_argument("--pretrained_dir", default="./pretrained_models")
+    p.add_argument("--out", default="tests/goldens/pretrained")
+    p.add_argument("--skip_zh", action="store_true")
+    args = p.parse_args(argv)
+
+    codec_path = os.path.join(args.pretrained_dir, "wmencodec.th")
+    lm_en = os.path.join(args.pretrained_dir, "English.pth")
+    lm_zh = os.path.join(args.pretrained_dir, "Mandarin.pth")
+    if not os.path.isfile(codec_path):
+        sys.exit(f"missing {codec_path}: download the published checkpoints "
+                 "first (see module docstring)")
+    os.makedirs(args.out, exist_ok=True)
+    report = {}
+
+    capture_codec(codec_path, args.out, report)
+
+    if os.path.isfile(lm_en):
+        # config 2: en TTS greedy no-CFG — mask is a zero-length span at end
+        capture_lm_config(
+            "en_tts_greedy", lm_en, codec_path, DEMO_TTS, TTS_TARGET,
+            lambda F: [(F, F)],
+            dict(cfg_coef=1.5, cfg_stride=1, aug_text=False,
+                 aug_context=False, cfg_pretrained=True),
+            "en", args.out, report)
+        # config 3: en editing with CFG stride 5
+        capture_lm_config(
+            "en_edit_cfg5", lm_en, codec_path, DEMO_EDIT, EDIT_TARGET,
+            lambda F: [(int(0.28 * F), int(0.55 * F))],
+            dict(cfg_coef=1.5, cfg_stride=5, aug_text=True,
+                 aug_context=False, cfg_pretrained=True),
+            "en", args.out, report)
+    if os.path.isfile(lm_zh) and not args.skip_zh:
+        # config 4: zh editing, cfg_stride 1
+        capture_lm_config(
+            "zh_edit_cfg1", lm_zh, codec_path, DEMO_ZH, ZH_TARGET,
+            lambda F: [(int(0.3 * F), int(0.6 * F))],
+            dict(cfg_coef=1.5, cfg_stride=1, aug_text=True,
+                 aug_context=False, cfg_pretrained=True),
+            "zh", args.out, report)
+
+    # config 5: watermark decode of the edit splice (uses config-3 artifacts)
+    edit_npz = os.path.join(args.out, "en_edit_cfg5.npz")
+    if os.path.isfile(edit_npz):
+        import torch
+
+        enc, dec, wmd, rvq, sd, cfg = _torch_codec(codec_path)
+        z = np.load(edit_npz)
+        codes = torch.from_numpy(z["codes"][None].astype(np.int64))
+        marks = torch.from_numpy(z["marks"][None].astype(np.int64))
+        wav = np.zeros((1, 1, codes.shape[-1] * cfg.hop_length), np.float32)
+        with torch.no_grad():
+            audio = wmd(rvq.decode(codes), marks, torch.from_numpy(wav))[0].numpy()
+        np.savez(os.path.join(args.out, "wm_decode.npz"),
+                 codes=z["codes"], marks=z["marks"], audio=audio)
+        from ssr_speech_tpu.models import pretrained
+        from ssr_speech_tpu.models.codec import wmencodec as jwm
+
+        tok = pretrained.load_codec(codec_path)
+        got = np.asarray(tok.wmdecode(z["codes"][None], z["marks"][None],
+                                      wav.transpose(0, 2, 1)))
+        mae = float(np.mean(np.abs(got.transpose(0, 2, 1) - audio)))
+        report["wm_decode"] = dict(mae=mae, ok=mae < 1e-3)
+
+    with open(os.path.join(args.out, "parity_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    bad = [k for k, v in report.items() if not v.get("ok")]
+    if bad:
+        sys.exit(f"PARITY FAILURES: {bad}")
+    print(f"all {len(report)} configs parity-OK; goldens in {args.out}")
+
+
+if __name__ == "__main__":
+    main()
