@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--savename", type=str, default="output")
     p.add_argument("--whisper_model", type=str, default=None,
                    help="HF whisper id for on-host ASR+alignment")
+    p.add_argument("--align_model", type=str, default=None,
+                   help="HF wav2vec2-CTC id for forced alignment of the "
+                        "transcript (the whisperx-style pass, reference "
+                        "inference_v2.py:56-94; more accurate word bounds "
+                        "than Whisper timestamps)")
     p.add_argument("--prompt_length", type=float, default=3.0)
     p.add_argument("--sample_batch_size", type=int, default=1)
     return p
@@ -104,12 +109,24 @@ def main(argv=None):
     # --- transcript + word alignment (host preprocessing) ---
     if args.alignment_file:
         words = read_alignment(args.alignment_file)
+    elif args.align_model and args.orig_transcript:
+        # forced alignment of the known transcript (whisperx-equivalent)
+        from ..utils.forced_align import Wav2Vec2Aligner
+
+        words = Wav2Vec2Aligner(args.align_model).align(
+            args.orig_audio, args.orig_transcript)
     elif args.whisper_model:
         from ..utils.asr import WhisperAligner
 
         words = WhisperAligner(args.whisper_model).transcribe(args.orig_audio)
+        if args.align_model:  # re-align the ASR transcript with wav2vec2
+            from ..utils.forced_align import Wav2Vec2Aligner
+
+            words = Wav2Vec2Aligner(args.align_model).align(
+                args.orig_audio, " ".join(w for w, _, _ in words))
     else:
-        raise SystemExit("need --alignment_file or --whisper_model")
+        raise SystemExit("need --alignment_file, --align_model with "
+                         "--orig_transcript, or --whisper_model")
     # digits -> spelled-out words on the alignment AND both transcripts:
     # phonemizing "42" vs "forty-two" changes the token stream (the reference
     # normalizes every ASR segment, inference_v2.py:45-53,90-94)
