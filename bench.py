@@ -81,11 +81,33 @@ def main():
 
     audio_sec = gen_frames / codec_cfg.frame_rate
     rtf = audio_sec / elapsed
+
+    # aggregate serving throughput: 8 seed-batched chains in ONE compiled
+    # loop over a shared prompt cache (the serving capability the reference
+    # lacks — it decodes seeds sequentially, inference_v2.py:331-337)
+    S = 8
+
+    def run_batch(seed):
+        results = dec_mod.generate_batch(
+            params, cfg, dec, x, y, mask, jax.random.PRNGKey(seed),
+            n_samples=S, tmax=1024, dtype_name="bfloat16",
+        )
+        return np.asarray(results[0][0])  # force device->host sync
+
+    run_batch(0)
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        run_batch(i + 1)
+    elapsed_b = (time.perf_counter() - t0) / n_runs
+    agg_rtf = S * audio_sec / elapsed_b
+
     print(json.dumps({
         "metric": "en TTS RTF (audio sec generated / wall sec, 830M LM + codec, CFG stride 5, 1 chip)",
         "value": round(rtf, 3),
         "unit": "x realtime",
         "vs_baseline": round(rtf / 5.0, 3),
+        "aggregate_rtf_s8": round(agg_rtf, 2),
+        "aggregate_note": "8 seed-batched chains, shared prompt cache, one compiled loop",
     }))
 
 

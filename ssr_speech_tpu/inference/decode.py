@@ -49,6 +49,38 @@ def _bucket(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+# KV-cache read strategy inside one decode step: "full" reads the whole
+# (current) buffer. "bucketed" (per-layer lax.switch over static prefix
+# lengths) was measured SLOWER on v5e — TPU conditionals copy their big
+# operands, costing more than the skipped reads save. The winning mechanism
+# is cache TELESCOPING instead (see _staged_while below): the generated-
+# positions cache starts small and is re-padded between while-loop stages,
+# so every step streams only the current stage's buffer. Module-level so
+# perf probes can flip it; token streams are identical either way.
+READ_MODE = "full"
+
+
+def _staged_while(cond_fn, body, init, sizes, grow):
+    """Run a while loop in cache-size stages (telescoping KV cache).
+
+    The decode attention streams the whole preallocated cache from HBM every
+    step, so a mostly-empty buffer wastes bandwidth early in the generation.
+    ``sizes`` are static capacities; each stage runs ``body`` with the cache
+    at ``sizes[i]`` until full (``cond_fn(s, size)`` must gate on remaining
+    room), then ``grow(state, next_size)`` zero-pads the buffers ONCE and the
+    next stage continues — per-step reads shrink to the live stage size with
+    no conditionals in the hot loop, and the stage-transition copies total
+    one cache pass per stage. Bit-exact: the computation per step is
+    unchanged, only buffer capacity differs."""
+    state = init
+    for i, size in enumerate(sizes):
+        if i > 0:
+            state = grow(state, size)
+        state = jax.lax.while_loop(
+            lambda s, size=size: cond_fn(s, size), body, state)
+    return state
+
+
 class GenState(NamedTuple):
     cache: trf.KVCache
     key: jax.Array
@@ -80,7 +112,7 @@ def _embed_step_tokens(params, cfg: SSRModelConfig, tokens: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "dec", "num_task", "cap_total", "aug_text",
-                     "dtype_name", "use_pallas"),
+                     "dtype_name", "tmax_total"),
 )
 def _generate_impl(
     params,
@@ -97,7 +129,7 @@ def _generate_impl(
     cap_total: int,
     aug_text: bool,
     dtype_name: str = "bfloat16",
-    use_pallas: bool = False,
+    tmax_total: Optional[int] = None,
 ):
     dtype = jnp.dtype(dtype_name)
     K = cfg.n_codebooks
@@ -115,15 +147,15 @@ def _generate_impl(
         (cols >= ts.mts) & (cols < ts.mts + ts.max_n_spans)
     )
 
-    def cond(s: GenState):
-        return (~s.done) & (s.out_len < cap_total)
+    def cond(s: GenState, size):
+        return (~s.done) & (s.out_len < cap_total) & (s.cache.length < size)
 
     def body(s: GenState):
         key, k_samp = jax.random.split(s.key)
         h = _embed_step_tokens(params, cfg, s.next_tokens, pe, s.y_pos, batch, dtype)
         out_h, cache = trf.transformer_decode_step(
             params["decoder"], h, s.cache, key_banned, cfg, dtype=dtype,
-            use_pallas=use_pallas,
+            read_mode=READ_MODE,
         )
         logits = ssr_model.predict_logits(params, out_h)  # [B, K, card] f32
 
@@ -237,14 +269,28 @@ def _generate_impl(
         num_cfg=jnp.asarray(1, jnp.int32),
         done=jnp.asarray(False),
     )
-    final = jax.lax.while_loop(cond, body, init)
+
+    # telescoping cache: the prefill allocated only the smallest stage that
+    # holds [x ; prefix]; grow toward tmax_total as generation proceeds
+    total = tmax_total if tmax_total is not None else cache.max_len
+    sizes = [cache.max_len] + [
+        s for s in trf._read_buckets(total, "bucketed") if s > cache.max_len]
+
+    def grow(s, size):
+        pad = size - s.cache.max_len
+        spec = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
+        return s._replace(cache=trf.KVCache(
+            jnp.pad(s.cache.k, spec), jnp.pad(s.cache.v, spec),
+            s.cache.length))
+
+    final = _staged_while(cond, body, init, sizes, grow)
     return final.out, final.span_end, final.out_len
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "dec", "num_task", "cap_total", "aug_text",
-                     "n_samples", "dtype_name", "use_pallas"),
+                     "n_samples", "dtype_name"),
 )
 def _generate_batched_impl(
     params,
@@ -262,7 +308,6 @@ def _generate_batched_impl(
     aug_text: bool,
     n_samples: int,
     dtype_name: str = "bfloat16",
-    use_pallas: bool = False,
 ):
     """Seed-batched generation: S independent sampling chains over the same
     prompt in ONE while-loop. The reference decodes ``sample_batch_size``
@@ -283,8 +328,8 @@ def _generate_batched_impl(
     card = ts.cardinality
     n_groups = pfx.k.shape[1]
     batch = n_groups * S
-    gen0 = trf.init_kv_cache(cfg, batch, _bucket(cap_total + 8, 128),
-                             dtype=pfx.k.dtype)
+    gen_sizes = trf._read_buckets(_bucket(cap_total + 8, 128), "bucketed")
+    gen0 = trf.init_kv_cache(cfg, batch, gen_sizes[0], dtype=pfx.k.dtype)
     pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
     rows = jnp.arange(K)[None, :, None]  # [1,K,1]
     cols = jnp.arange(card)[None, None, :]
@@ -321,15 +366,16 @@ def _generate_batched_impl(
             h = jnp.concatenate([h, h], axis=0)  # uncond rows share inputs
         return h.astype(dtype)
 
-    def cond_fn(s):
-        return (~jnp.all(s.done)) & (jnp.max(s.out_len) < cap_total)
+    def cond_fn(s, size):
+        return ((~jnp.all(s.done)) & (jnp.max(s.out_len) < cap_total)
+                & (s.cache.length < size))
 
     def body(s):
         key, k_samp = jax.random.split(s.key)
         h = embed_rows(s.next_tokens, s.y_pos)
         out_h, cache = trf.transformer_decode_step_shared(
             params["decoder"], h, pfx, s.cache, key_banned, cfg,
-            n_groups=n_groups, dtype=dtype,
+            n_groups=n_groups, dtype=dtype, read_mode=READ_MODE,
         )
         logits = ssr_model.predict_logits(params, out_h)  # [B, K, card]
         if aug_text:
@@ -435,7 +481,15 @@ def _generate_batched_impl(
         num_cfg=jnp.ones((S,), jnp.int32),
         done=jnp.zeros((S,), bool),
     )
-    final = jax.lax.while_loop(cond_fn, body, init)
+
+    def grow(s, size):
+        pad = size - s.cache.max_len
+        spec = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
+        return s._replace(cache=trf.KVCache(
+            jnp.pad(s.cache.k, spec), jnp.pad(s.cache.v, spec),
+            s.cache.length))
+
+    final = _staged_while(cond_fn, body, init, gen_sizes, grow)
     return final.out, final.span_end, final.out_len
 
 
@@ -455,7 +509,6 @@ def generate_batch(
     x_bucket: int = 64,
     prefix_bucket: int = 128,
     tmax_bucket: int = 512,
-    use_pallas: Optional[bool] = None,
 ) -> List[Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]], List[Tuple[int, int]]]]:
     """Generate ``n_samples`` independent sampling chains for one prompt in a
     single compiled loop. Returns a list of per-chain (codes, marks,
@@ -499,14 +552,11 @@ def generate_batch(
         cfg_pretrained=dec.cfg_pretrained, aug_text=dec.aug_text,
         uncond_row_start=1 if dec.aug_text else -1,
     )
-    if use_pallas is None:
-        use_pallas = False
     out, span_end, out_len = _generate_batched_impl(
         params, cache, key_banned, rng, jnp.asarray(sentinels),
         jnp.asarray(x_len, jnp.int32), jnp.asarray(p_len, jnp.int32),
         cfg=cfg, dec=dec, num_task=num_task, cap_total=cap_total,
         aug_text=dec.aug_text, n_samples=n_samples, dtype_name=dtype_name,
-        use_pallas=use_pallas,
     )
     out = np.asarray(out)
     span_end = np.asarray(span_end)
@@ -610,7 +660,6 @@ def generate(
     x_bucket: int = 64,
     prefix_bucket: int = 128,
     tmax_bucket: int = 512,
-    use_pallas: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]], List[Tuple[int, int]]]:
     """End-to-end span-infilling generation for one sample.
 
@@ -673,23 +722,23 @@ def generate(
     if tmax is None:
         tmax = _bucket(sx_pad + p_pad + cap_total + num_task + 8, tmax_bucket)
 
+    # prefill into the smallest telescoping stage that holds [x ; prefix]
+    # (+1 slot so the first decode write fits); _generate_impl grows it
+    need = sx_pad + p_pad + 1
+    tmax0 = next((s for s in trf._read_buckets(tmax, "bucketed") if s >= need),
+                 tmax)
     cache, key_banned = _prefill_impl(
         params, jnp.asarray(xb_padded), jnp.asarray(prefix_padded),
         jnp.asarray(x_len, jnp.int32), jnp.asarray(p_len, jnp.int32),
-        cfg=cfg, tmax=tmax, dtype_name=dtype_name,
+        cfg=cfg, tmax=tmax0, dtype_name=dtype_name,
         cfg_pretrained=dec.cfg_pretrained, aug_text=dec.aug_text,
     )
-    if use_pallas is None:
-        # measured on v5e: the flash-decoding kernel matches the XLA path at
-        # tmax>=2048 and is ~6% slower at tmax 1024 (per-call overhead eats
-        # the DMA savings once tmax is bucketed tightly) — default off
-        use_pallas = False
     out, span_end, total_len = _generate_impl(
         params, cache, key_banned, rng, jnp.asarray(sentinels),
         jnp.asarray(x_len, jnp.int32), jnp.asarray(p_len, jnp.int32),
         cfg=cfg, dec=dec, num_task=num_task,
         cap_total=cap_total, aug_text=dec.aug_text, dtype_name=dtype_name,
-        use_pallas=use_pallas,
+        tmax_total=tmax,
     )
     out = np.asarray(out)
     span_end = np.asarray(span_end)
@@ -815,9 +864,9 @@ def _generate_multi_impl(
     cols = jnp.arange(card)[None, None, :]
     silence = jnp.asarray(dec.silence_tokens, jnp.int32)
     length_cap = x_lens * dec.length_cap_mult  # [S]
+    gen_sizes = trf._read_buckets(_bucket(cap_total + 8, 128), "bucketed")
     gen0 = trf.init_kv_cache(
-        cfg, S * (2 if aug_text else 1), _bucket(cap_total + 8, 128),
-        dtype=pfx.k.dtype)
+        cfg, S * (2 if aug_text else 1), gen_sizes[0], dtype=pfx.k.dtype)
 
     static_ban = (cols == ts.eos) | (cols == ts.sos) | (
         (cols >= ts.mts) & (cols < ts.mts + ts.max_n_spans))
@@ -848,15 +897,16 @@ def _generate_multi_impl(
             h = jnp.concatenate([h, h], axis=0)
         return h.astype(dtype)
 
-    def cond_fn(s):
-        return (~jnp.all(s.done)) & (jnp.max(s.out_len) < cap_total)
+    def cond_fn(s, size):
+        return ((~jnp.all(s.done)) & (jnp.max(s.out_len) < cap_total)
+                & (s.cache.length < size))
 
     def body(s):
         key, k_samp = jax.random.split(s.key)
         h = embed_rows(s.next_tokens, s.y_pos)
         out_h, cache = trf.transformer_decode_step_shared(
             params["decoder"], h, pfx, s.cache, key_banned, cfg,
-            n_groups=h.shape[0], dtype=dtype,
+            n_groups=h.shape[0], dtype=dtype, read_mode=READ_MODE,
         )
         logits = ssr_model.predict_logits(params, out_h)
         if aug_text:
@@ -959,7 +1009,15 @@ def _generate_multi_impl(
         num_cfg=jnp.ones((S,), jnp.int32),
         done=jnp.zeros((S,), bool),
     )
-    final = jax.lax.while_loop(cond_fn, body, init)
+
+    def grow(s, size):
+        pad = size - s.cache.max_len
+        spec = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
+        return s._replace(cache=trf.KVCache(
+            jnp.pad(s.cache.k, spec), jnp.pad(s.cache.v, spec),
+            s.cache.length))
+
+    final = _staged_while(cond_fn, body, init, gen_sizes, grow)
     return final.out, final.span_end, final.out_len
 
 

@@ -151,6 +151,21 @@ def transformer_forward(
     return layer_norm(h, params["final_ln_w"], params["final_ln_b"])
 
 
+def _read_buckets(tmax: int, read_mode: str, max_buckets: int = 8):
+    """Static KV-read lengths for the decode attention.
+
+    "full" -> [tmax]; "bucketed" -> up to ``max_buckets`` multiples of a
+    128-aligned chunk, so a ``lax.switch`` can stream only the valid cache
+    prefix (the flash-decoding effect in pure XLA)."""
+    if read_mode == "full" or tmax <= 128:
+        return [tmax]
+    assert read_mode == "bucketed", read_mode
+    raw = -(-tmax // max_buckets)  # ceil(tmax / max_buckets)
+    chunk = max(128, -(-raw // 128) * 128)  # round up to 128
+    n = -(-tmax // chunk)
+    return [min((i + 1) * chunk, tmax) for i in range(n)]
+
+
 class KVCache(NamedTuple):
     """Preallocated per-layer key/value buffers and the current fill length."""
 
@@ -214,6 +229,7 @@ def transformer_decode_step_shared(
     *,
     n_groups: int,
     dtype=jnp.bfloat16,
+    read_mode: str = "full",
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Decode step for seed-batched generation with a SHARED prompt cache.
 
@@ -222,13 +238,21 @@ def transformer_decode_step_shared(
     reads it S times); per-chain caches hold only generated positions. The
     softmax runs over the concatenated [prefix ; generated] scores — exactly
     equivalent to single-cache attention, no online merge needed.
+
+    read_mode "bucketed": the per-chain gen cache is the dominant HBM
+    traffic at S>=8, and most of the preallocated buffer is empty early in
+    the generation — a per-layer ``lax.switch`` over static read lengths
+    streams only ``bucket(gen.length)`` positions. Cache WRITES stay outside
+    the switch (the carried buffers keep aliasing in place; branches return
+    only the [B, H, Dh] attention output), and each branch runs the same
+    joint softmax, so token streams are bit-identical to "full".
     """
     nhead = cfg.nhead
     b, d = h_t.shape
     S = b // n_groups
     tp = pfx.max_len
-    tg = gen.max_len
     gpos = gen.length  # tokens generated so far (same for all chains)
+    scale = 1.0 / math.sqrt(cfg.head_dim)
     h = h_t.astype(dtype)[:, None, :]
 
     idxp = jnp.arange(tp)[None, :]
@@ -241,11 +265,37 @@ def transformer_decode_step_shared(
             (idxp >= key_banned[:, :1]) & (idxp < key_banned[:, 1:2])
         )  # [G, Tp]
     pfx_bias = jnp.where(pfx_banned, -1e9, 0.0).astype(jnp.float32)
-    gen_banned = jnp.arange(tg) > gpos  # [Tg]; current token stays visible
-    gen_bias = jnp.where(gen_banned, -1e9, 0.0).astype(jnp.float32)
+
+    bucket_sizes = _read_buckets(gen.max_len, read_mode)
+    bucket_idx = (jnp.minimum(gpos // bucket_sizes[0],
+                              len(bucket_sizes) - 1)
+                  if len(bucket_sizes) > 1 else None)
+
+    def attend_layer(rl, q, k_buf, v_buf, pfx_k, pfx_v):
+        """Joint softmax over [prefix ; gen[:rl]] — math identical to the
+        full read, only the streamed gen slab shrinks."""
+        gen_bias = jnp.where(jnp.arange(rl) > gpos, -1e9, 0.0
+                             ).astype(jnp.float32)
+        k_read, v_read = k_buf[:, :, :rl], v_buf[:, :, :rl]
+        qg = (q * scale).reshape(n_groups, S, nhead, cfg.head_dim)
+        # prefix scores: the group's K read ONCE for its S chains
+        sp = jnp.einsum(
+            "gshd,ghtd->gsht", qg.astype(dtype), pfx_k.astype(dtype),
+            preferred_element_type=jnp.float32,
+        ) + pfx_bias[:, None, None, :]
+        sg = jnp.einsum(
+            "bhd,bhtd->bht", (q * scale).astype(dtype),
+            k_read.astype(dtype), preferred_element_type=jnp.float32,
+        ).reshape(n_groups, S, nhead, rl) + gen_bias
+        s_all = jnp.concatenate([sp, sg], axis=-1)
+        p_all = jax.nn.softmax(s_all.astype(jnp.float32), axis=-1).astype(dtype)
+        pp, pg = p_all[..., :tp], p_all[..., tp:]
+        out_p = jnp.einsum("gsht,ghtd->gshd", pp, pfx_v.astype(dtype))
+        out_g = jnp.einsum(
+            "bht,bhtd->bhd", pg.reshape(b, nhead, rl), v_read.astype(dtype))
+        return out_p.reshape(b, nhead, cfg.head_dim) + out_g
 
     new_k, new_v = gen.k, gen.v
-    scale = 1.0 / math.sqrt(cfg.head_dim)
     for l in range(cfg.num_layers):
         lp = jax.tree.map(lambda a: a[l], params["layers"])
         hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"])
@@ -255,23 +305,20 @@ def transformer_decode_step_shared(
             new_k, k[None].astype(new_k.dtype), (l, 0, 0, gpos, 0))
         new_v = jax.lax.dynamic_update_slice(
             new_v, v[None].astype(new_v.dtype), (l, 0, 0, gpos, 0))
-        qg = (q[:, :, 0, :] * scale).reshape(n_groups, S, nhead, cfg.head_dim)
-        # prefix scores: the group's K read ONCE for its S chains
-        sp = jnp.einsum(
-            "gshd,ghtd->gsht", qg.astype(dtype), pfx.k[l].astype(dtype),
-            preferred_element_type=jnp.float32,
-        ) + pfx_bias[:, None, None, :]
-        sg = jnp.einsum(
-            "bhd,bhtd->bht", (q[:, :, 0, :] * scale).astype(dtype),
-            new_k[l].astype(dtype), preferred_element_type=jnp.float32,
-        ).reshape(n_groups, S, nhead, tg) + gen_bias
-        s_all = jnp.concatenate([sp, sg], axis=-1)
-        p_all = jax.nn.softmax(s_all.astype(jnp.float32), axis=-1).astype(dtype)
-        pp, pg = p_all[..., :tp], p_all[..., tp:]
-        out_p = jnp.einsum("gsht,ghtd->gshd", pp, pfx.v[l].astype(dtype))
-        out_g = jnp.einsum(
-            "bht,bhtd->bhd", pg.reshape(b, nhead, tg), new_v[l].astype(dtype))
-        attn = (out_p.reshape(b, nhead, cfg.head_dim) + out_g).reshape(b, 1, d)
+        q1 = q[:, :, 0, :]
+        if bucket_idx is None:
+            attn_h = attend_layer(bucket_sizes[-1], q1, new_k[l], new_v[l],
+                                  pfx.k[l], pfx.v[l])
+        else:
+            # switch over static read lengths: cache WRITES stay outside (so
+            # the carried buffers alias in place); branches only read a
+            # prefix slab and return the tiny [B, H, Dh] output
+            attn_h = jax.lax.switch(
+                bucket_idx,
+                [(lambda qq, kk, vv, pk, pv, rl=rl: attend_layer(
+                    rl, qq, kk, vv, pk, pv)) for rl in bucket_sizes],
+                q1, new_k[l], new_v[l], pfx.k[l], pfx.v[l])
+        attn = attn_h.reshape(b, 1, d)
         attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
         h = h + attn
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
@@ -289,7 +336,7 @@ def transformer_decode_step(
     cfg: SSRModelConfig,
     *,
     dtype=jnp.bfloat16,
-    use_pallas: bool = False,
+    read_mode: str = "full",
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One-token decode: h_t [B, D] at position cache.length.
 
@@ -298,23 +345,30 @@ def transformer_decode_step(
     ``models/ssr.py:632-634``). Future positions are masked automatically
     from ``cache.length``. Returns (out [B, D], cache + 1).
 
-    use_pallas: route attention through the flash-decoding Pallas kernel
-    (``ops.decode_attention``) which DMAs only the valid cache prefix.
+    Cache traffic is bounded by the caller's telescoping stages
+    (``inference.decode._staged_while``), so "full" reads of the CURRENT
+    stage buffer are the fast path; read_mode "bucketed" (per-layer
+    ``lax.switch`` over static read lengths) is kept for probes but measured
+    slower on v5e — TPU conditionals copy their big operands.
     """
     nhead = cfg.nhead
     b, d = h_t.shape
-    tmax = cache.max_len
     pos = cache.length
     h = h_t.astype(dtype)[:, None, :]  # [B, 1, D]
 
-    if not use_pallas:
-        idx = jnp.arange(tmax)[None, :]
+    bucket_sizes = _read_buckets(cache.max_len, read_mode)
+    bucket_idx = (jnp.minimum(pos // bucket_sizes[0],
+                              len(bucket_sizes) - 1)
+                  if len(bucket_sizes) > 1 else None)
+
+    def attend_layer(rl, q, k_buf, v_buf):
+        idx = jnp.arange(rl)[None, :]
         banned = (idx > pos) | (
             (idx >= key_banned[:, :1]) & (idx < key_banned[:, 1:2])
         )
         bias = jnp.where(banned, -1e9, 0.0).astype(jnp.float32)[:, None, None, :]
-    else:
-        from ..ops.decode_attention import decode_attention
+        return _attend(q, k_buf[:, :, :rl].astype(dtype),
+                       v_buf[:, :, :rl].astype(dtype), bias)
 
     # Python-unrolled layer loop with STATIC layer indices: each step writes
     # only the new token's K/V ([B,H,1,Dh]) in place and reads the cache for
@@ -332,14 +386,15 @@ def transformer_decode_step(
             new_k, k[None].astype(new_k.dtype), (l, 0, 0, pos, 0))
         new_v = jax.lax.dynamic_update_slice(
             new_v, v[None].astype(new_v.dtype), (l, 0, 0, pos, 0))
-        if use_pallas:
-            attn_h = decode_attention(
-                q[:, :, 0, :], new_k[l], new_v[l], pos, key_banned
-            )  # [B, H, Dh]
-            attn = attn_h.reshape(b, 1, d).astype(dtype)
-        else:
+        if bucket_idx is None:
             attn = _merge_heads(
-                _attend(q, new_k[l].astype(dtype), new_v[l].astype(dtype), bias))
+                attend_layer(bucket_sizes[-1], q, new_k[l], new_v[l]))
+        else:
+            attn = _merge_heads(jax.lax.switch(
+                bucket_idx,
+                [(lambda qq, kk, vv, rl=rl: attend_layer(rl, qq, kk, vv))
+                 for rl in bucket_sizes],
+                q, new_k[l], new_v[l]))
         attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
         h = h + attn
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])

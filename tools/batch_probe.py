@@ -19,14 +19,14 @@ mask=[(150,150)]
 frames=300
 dec = DecodeConfig(aug_text=True, cfg_stride=5, top_k=0, top_p=0.8, stop_repetition=-1,
                    cfg_pretrained=True, max_gen_per_span=frames+4, length_cap_mult=10000)
-for S, pallas in [(1, False), (2, False), (4, False), (8, False), (16, False)]:
+for S in [1, 2, 4, 8, 16]:
     def call(s):
         return dec_mod.generate_batch(params, cfg, dec, x, y, mask,
             jax.random.PRNGKey(s), n_samples=S, tmax=1024,
-            dtype_name="bfloat16", use_pallas=pallas)
+            dtype_name="bfloat16")
     r = call(0)
     t0=time.time()
     for s in range(2): r = call(s+1)
     el=(time.time()-t0)/2
-    log(f"S={S} pallas={pallas}: {el:.3f}s/call -> {el/(frames+4)*1000:.2f} ms/step, "
+    log(f"S={S}: {el:.3f}s/call -> {el/(frames+4)*1000:.2f} ms/step, "
         f"aggregate RTF {S*frames/50/el:.1f}x")
