@@ -31,6 +31,10 @@ from ..config import SSRModelConfig
 
 Params = Dict[str, Any]
 
+# rematerialization policy for the training layer scan (see
+# transformer_forward); module-level so probes/configs can override
+REMAT_POLICY = None
+
 
 def _uniform(key, shape, bound, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
@@ -146,7 +150,14 @@ def transformer_forward(
         h = h + _dropout(ff, rate, k3, deterministic)
         return (h, key), None
 
-    scan_body = jax.checkpoint(body) if remat else body
+    if remat:
+        # REMAT_POLICY None = full per-layer remat (lowest memory). A
+        # saveable policy (e.g. jax.checkpoint_policies.dots_saveable)
+        # trades HBM for fewer recomputed matmuls in the backward.
+        scan_body = (jax.checkpoint(body, policy=REMAT_POLICY)
+                     if REMAT_POLICY is not None else jax.checkpoint(body))
+    else:
+        scan_body = body
     (h, _), _ = jax.lax.scan(scan_body, (h, rng), params["layers"])
     return layer_norm(h, params["final_ln_w"], params["final_ln_b"])
 
