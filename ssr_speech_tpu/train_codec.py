@@ -60,6 +60,10 @@ def main(argv=None):
     p.add_argument("--config_json", default=None,
                    help="codec geometry as a CodecConfig JSON file "
                         "(default: shipped encodec_large_nq4_s320)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each batch over all devices (SPMD; XLA "
+                        "inserts the gradient collectives — the flashy/NCCL "
+                        "sync of the reference, wmcompression.py:162)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("train_codec")
@@ -98,6 +102,22 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed), cfg, lr=args.lr, pretrained=pretrained
     )
     step_fn = codec_trainer.make_codec_train_step(cfg, opts, args.ema_decay)
+
+    shard_batch = lambda x: x
+    if args.data_parallel and jax.device_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .parallel import mesh as meshlib
+
+        mesh = meshlib.make_mesh(tp=1)
+        n_dev = mesh.devices.size
+        if args.batch_size % n_dev:
+            raise SystemExit(f"--batch_size must be divisible by {n_dev} devices")
+        logger.info("data-parallel over %d devices", n_dev)
+
+        def shard_batch(x):  # noqa: F811
+            spec = PartitionSpec("dp", *([None] * (x.ndim - 1)))
+            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
     ds = AudioSegmentDataset(args.manifest, cfg, args.segment_duration,
                              seed=args.seed)
@@ -139,8 +159,9 @@ def main(argv=None):
     for epoch in range(args.epochs):
         for wav in ds.batches(args.batch_size, args.updates):
             labels, keep = wm.sample_watermark_mask(rng, wav.shape[0], frames, hop)
-            state, metrics = step_fn(state, jnp.asarray(wav),
-                                     jnp.asarray(labels), jnp.asarray(keep))
+            state, metrics = step_fn(state, shard_batch(jnp.asarray(wav)),
+                                     shard_batch(jnp.asarray(labels)),
+                                     shard_batch(jnp.asarray(keep)))
             step += 1
             if step % 50 == 0:
                 m = {k: float(v) for k, v in metrics.items()}
