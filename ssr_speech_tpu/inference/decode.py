@@ -838,6 +838,7 @@ def _generate_multi_impl(
     sentinel_ids: jnp.ndarray,
     x_lens: jnp.ndarray,  # [S] conditional-row text lengths
     p_lens: jnp.ndarray,  # [S] prefix lengths (per-chain audio position base)
+    n_tasks: jnp.ndarray,  # [S] per-prompt span counts (<= num_task)
     *,
     cfg: SSRModelConfig,
     dec: DecodeConfig,
@@ -852,7 +853,8 @@ def _generate_multi_impl(
     A serving capability beyond the reference (which is single-sample only,
     models/ssr.py:559): weight reads amortize across utterances. Per-chain
     audio positions, length caps and span state are vectors; chains freeze
-    when done.
+    when done. Prompts may have DIFFERENT span counts (``n_tasks``): a chain
+    finishes after its own count while others continue toward ``num_task``.
     """
     dtype = jnp.dtype(dtype_name)
     S = n_prompts
@@ -974,7 +976,7 @@ def _generate_multi_impl(
             & (jnp.arange(num_task)[None, :] == s.span_idx[:, None]),
             out_len[:, None], s.span_end)
         span_idx = jnp.where(span_done, s.span_idx + 1, s.span_idx)
-        done = s.done | (span_done & (span_idx >= num_task))
+        done = s.done | (span_done & (span_idx >= n_tasks))
         next_sent = sentinel_ids[jnp.minimum(span_idx, num_task - 1)]
         next_tokens = jnp.where(span_done[:, None],
                                 jnp.broadcast_to(next_sent[:, None], (S, K)),
@@ -1033,8 +1035,9 @@ def generate_multi(
     prefix_bucket: int = 128,
 ):
     """Decode several DIFFERENT utterances concurrently in one compiled loop
-    (a serving capability the single-sample reference lacks). All prompts
-    must have the same number of mask spans. Returns a list of per-prompt
+    (a serving capability the single-sample reference lacks). Prompts may mix
+    span counts — a 1-span TTS job batches with 3-span edits; chains finish
+    after their own span count. Returns a list of per-prompt
     (codes, marks, out_intervals, nm_intervals)."""
     ts = cfg.tokens
     K = cfg.n_codebooks
@@ -1045,9 +1048,8 @@ def generate_multi(
         y = np.asarray(y, np.int32)
         prefix, _, num_task, nm = patterns.build_inference_prefix(y, list(mask), ts)
         built.append((x, y, prefix, num_task, nm))
-    num_task = built[0][3]
-    assert all(b[3] == num_task for b in built), \
-        "all prompts must share the same span count"
+    n_tasks = np.asarray([b[3] for b in built], np.int32)
+    num_task = int(n_tasks.max())
     sentinels = np.arange(ts.mts, ts.mts + ts.max_n_spans, dtype=np.int32)
 
     sx_pad = _bucket(max(max(len(b[0]) for b in built), 1), x_bucket)
@@ -1087,7 +1089,7 @@ def generate_multi(
     )
     out, span_end, out_len = _generate_multi_impl(
         params, pfx, key_banned, rng, jnp.asarray(sentinels),
-        jnp.asarray(x_lens), jnp.asarray(p_lens),
+        jnp.asarray(x_lens), jnp.asarray(p_lens), jnp.asarray(n_tasks),
         cfg=cfg, dec=dec, num_task=num_task, cap_total=cap_total,
         aug_text=dec.aug_text, n_prompts=S, dtype_name=dtype_name,
     )
@@ -1095,10 +1097,10 @@ def generate_multi(
     span_end = np.asarray(span_end)
 
     results = []
-    for i, (x, y, prefix, _, nm) in enumerate(built):
+    for i, (x, y, prefix, ntask_i, nm) in enumerate(built):
         gen_spans = []
         start = 0
-        for t in range(num_task):
+        for t in range(ntask_i):
             end = max(int(span_end[i, t]), start)
             span = out[i, :, start:end]
             start = end

@@ -83,3 +83,40 @@ def test_inference_multi_pipeline(params, tmp_path):
     assert len(outs) == 2
     for out in outs:
         assert out.ndim == 3 and np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("aug_text", [False, True])
+def test_multi_prompt_mixed_span_counts(params, aug_text):
+    """Prompts with DIFFERENT span counts in one batch (TTS 1-span job
+    alongside 2-span edits): each output equals its single-prompt greedy
+    decode; early-finishing chains freeze while others continue."""
+    rng = np.random.default_rng(33)
+    ts = CFG.tokens
+    prompts = [
+        # 1 span (TTS-style: mask to the end)
+        (rng.integers(0, CFG.text_vocab_size - 1, size=(18,)),
+         rng.integers(0, ts.audio_vocab_size, size=(CFG.n_codebooks, 22)),
+         [(22, 22)]),
+        # 2 spans
+        (rng.integers(0, CFG.text_vocab_size - 1, size=(24,)),
+         rng.integers(0, ts.audio_vocab_size, size=(CFG.n_codebooks, 34)),
+         [(5, 10), (18, 25)]),
+        # 1 span mid-utterance
+        (rng.integers(0, CFG.text_vocab_size - 1, size=(15,)),
+         rng.integers(0, ts.audio_vocab_size, size=(CFG.n_codebooks, 28)),
+         [(10, 16)]),
+    ]
+    dec = DecodeConfig(top_k=1, top_p=1.0, stop_repetition=-1,
+                       cfg_coef=1.5, cfg_stride=2, aug_text=aug_text,
+                       cfg_pretrained=True, max_gen_per_span=120,
+                       length_cap_mult=10)
+    multi = decode.generate_multi(params, CFG, dec, prompts,
+                                  jax.random.PRNGKey(0), dtype_name="float32")
+    for (x, y, mask), (codes_m, marks_m, oi_m, nm_m) in zip(prompts, multi):
+        codes_1, marks_1, oi_1, nm_1 = decode.generate(
+            params, CFG, dec, x, y, mask, jax.random.PRNGKey(0),
+            dtype_name="float32",
+        )
+        np.testing.assert_array_equal(codes_m, codes_1)
+        np.testing.assert_array_equal(marks_m, marks_1)
+        assert oi_m == oi_1 and nm_m == nm_1
