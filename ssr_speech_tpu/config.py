@@ -86,6 +86,10 @@ class SSRModelConfig:
     # head hidden width: reference uses audio_vocab_size // 2 (models/ssr.py:177)
     head_hidden: Optional[int] = None
     max_position: int = 4000  # positional table length (modules/embedding.py:67)
+    # FFN activation: the reference transformer also accepts the icefall
+    # DoubleSwish variants (models/modules/transformer.py:12-13); the shipped
+    # SSR config uses relu (models/ssr.py:160-168)
+    activation: str = "relu"  # relu | double_swish | balanced_double_swish
 
     @property
     def text_pad_token(self) -> int:

@@ -108,6 +108,21 @@ def _attend(q, k, v, bias):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _ffn_act(cfg: SSRModelConfig, deterministic: bool):
+    """FFN activation per config (reference transformer.py accepts relu or
+    the icefall DoubleSwish variants; shipped SSR uses relu)."""
+    if cfg.activation == "relu":
+        return jax.nn.relu
+    from ..ops import scaling as _sc
+
+    if cfg.activation == "double_swish":
+        return _sc.double_swish
+    if cfg.activation == "balanced_double_swish":
+        return lambda x: _sc.balanced_double_swish(
+            x, deterministic=deterministic)
+    raise ValueError(cfg.activation)
+
+
 def transformer_forward(
     params: Params,
     h: jnp.ndarray,
@@ -129,6 +144,7 @@ def transformer_forward(
     B=8/S=1280 needs 41 GB of HLO temps; with remat it fits one v5e chip).
     """
     nhead, rate = cfg.nhead, cfg.trm_dropout
+    act = _ffn_act(cfg, deterministic)
     h = h.astype(dtype)
     bias = bias.astype(jnp.float32)
     if rng is None:
@@ -144,7 +160,7 @@ def transformer_forward(
         attn = _merge_heads(attn) @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
         h = h + _dropout(attn, rate, k1, deterministic)
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
-        ff = jax.nn.relu(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
+        ff = act(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
         ff = _dropout(ff, rate, k2, deterministic)
         ff = ff @ lp["ffn2_w"].astype(dtype) + lp["ffn2_b"].astype(dtype)
         h = h + _dropout(ff, rate, k3, deterministic)
@@ -206,6 +222,7 @@ def transformer_prefill(
     """Full forward over the prompt while filling the KV cache at offset
     ``cache.length`` (normally 0). Returns (hidden [B,S,D], cache)."""
     nhead = cfg.nhead
+    act = _ffn_act(cfg, deterministic=True)
     h = h.astype(dtype)
     start = cache.length
 
@@ -221,7 +238,7 @@ def transformer_prefill(
         attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
         h = h + attn
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
-        ff = jax.nn.relu(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
+        ff = act(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
         h = h + ff @ lp["ffn2_w"].astype(dtype) + lp["ffn2_b"].astype(dtype)
         return h, (ck, cv)
 
@@ -259,6 +276,7 @@ def transformer_decode_step_shared(
     joint softmax, so token streams are bit-identical to "full".
     """
     nhead = cfg.nhead
+    act = _ffn_act(cfg, deterministic=True)
     b, d = h_t.shape
     S = b // n_groups
     tp = pfx.max_len
@@ -333,7 +351,7 @@ def transformer_decode_step_shared(
         attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
         h = h + attn
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
-        ff = jax.nn.relu(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
+        ff = act(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
         h = h + ff @ lp["ffn2_w"].astype(dtype) + lp["ffn2_b"].astype(dtype)
     out = layer_norm(h, params["final_ln_w"], params["final_ln_b"])
     return out[:, 0, :], KVCache(new_k, new_v, gpos + 1)
@@ -363,6 +381,7 @@ def transformer_decode_step(
     slower on v5e — TPU conditionals copy their big operands.
     """
     nhead = cfg.nhead
+    act = _ffn_act(cfg, deterministic=True)
     b, d = h_t.shape
     pos = cache.length
     h = h_t.astype(dtype)[:, None, :]  # [B, 1, D]
@@ -409,7 +428,7 @@ def transformer_decode_step(
         attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
         h = h + attn
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
-        ff = jax.nn.relu(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
+        ff = act(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
         h = h + ff @ lp["ffn2_w"].astype(dtype) + lp["ffn2_b"].astype(dtype)
     out = layer_norm(h, params["final_ln_w"], params["final_ln_b"])
     return out[:, 0, :], KVCache(new_k, new_v, pos + 1)
