@@ -176,9 +176,13 @@ def init_encoder_state(cfg: SEANetConfig, batch: int = 1,
 
 
 def encode_step(p: Params, state: State, chunk: jnp.ndarray,
-                cfg: SEANetConfig) -> Tuple[jnp.ndarray, State]:
-    """chunk [B, C, channels] (C a hop multiple) -> latents [B, C/hop, dim]."""
+                cfg: SEANetConfig, return_taps: bool = False):
+    """chunk [B, C, channels] (C a hop multiple) -> latents [B, C/hop, dim].
+
+    With ``return_taps`` also returns the per-resolution intermediates the
+    watermark decoder fuses (same boundaries as ``seanet.encode``)."""
     new: State = dict(groups=[])
+    taps = []
     h, new["conv_in"] = conv1d_step(p["conv_in"], chunk, state["conv_in"])
     enc_ratios = list(reversed(cfg.ratios))
     for i, g in enumerate(p["groups"]):
@@ -187,12 +191,17 @@ def encode_step(p: Params, state: State, chunk: jnp.ndarray,
         for j, rp in enumerate(g["res"]):
             h, rs = resblock_step(rp, h, gs["res"][j], cfg.dilation_base ** j)
             ns["res"].append(rs)
+        if return_taps:
+            taps.append(h)
         h, ns["down"] = conv1d_step(g["down"], act(h), gs["down"],
                                     stride=enc_ratios[i])
         new["groups"].append(ns)
     if "lstm" in p:
         h, new["lstm"] = lstm_skip_step(p["lstm"], h, state["lstm"])
     h, new["conv_out"] = conv1d_step(p["conv_out"], act(h), state["conv_out"])
+    if return_taps:
+        taps.append(h)
+        return h, taps, new
     return h, new
 
 
@@ -250,6 +259,82 @@ def decode_step(p: Params, state: State, z: jnp.ndarray,
     if cfg.final_activation == "Tanh":
         h = jnp.tanh(h)
     return h, new
+
+
+# --------------------------------------------------------- watermark decoder
+
+def init_wm_decoder_state(cfg: SEANetConfig, batch: int = 1,
+                          dtype=jnp.float32) -> State:
+    """State for streaming ``wm_decode``: skip-encoder, decoder and the
+    detector encoder streams run in lockstep."""
+    return dict(
+        skip=init_encoder_state(cfg, batch, dtype),
+        dec=init_decoder_state(cfg, batch, dtype),
+        wm_enc=init_encoder_state(cfg, batch, dtype),
+    )
+
+
+def wm_decode_step(
+    p: Params,  # wmdecoder params (seanet.init_wm_decoder layout)
+    state: State,
+    latents: jnp.ndarray,  # [B, F, dim] quantized latents for this chunk
+    labels: jnp.ndarray,  # [B, F] int {0,1} watermark labels
+    wav_chunk: jnp.ndarray,  # [B, F*hop, C] original (masked) waveform chunk
+    cfg: SEANetConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, State]:
+    """Streaming WMSEANetDecoder step (offline: ``seanet.wm_decode``).
+
+    The skip-encoder taps, label-embedding fusions (1x1 projections —
+    stateless) and decoder stages all operate at chunk-aligned rates, so the
+    same per-layer states as the plain streams suffice. Returns
+    (audio [B, F*hop, C], detector logits [B, F, 2], state).
+    """
+    n_up = len(cfg.ratios)
+    _, taps, skip_s = encode_step(p["skip_encoder"], state["skip"], wav_chunk,
+                                  cfg, return_taps=True)
+    used = taps[1:]  # drop the full-rate tap like the offline path
+
+    dp = p["decoder"]
+    ds = state["dec"]
+    new_dec: State = dict(groups=[dict(res=[]) for _ in cfg.ratios])
+    x = latents
+    for stage in range(n_up):
+        tap = used[n_up - 1 - stage]
+        rep = 1
+        for r in cfg.ratios[:stage]:
+            rep *= r
+        lab = jnp.repeat(labels, rep, axis=1) if rep > 1 else labels
+        emb = seanet._wm_embed(p, lab)
+        fused = jnp.concatenate([tap, emb.astype(tap.dtype)], axis=-1)
+        x = seanet._proj(p["projs"][stage], fused, cfg) + x
+        if stage == 0:
+            x, new_dec["conv_in"] = conv1d_step(dp["conv_in"], x,
+                                                ds["conv_in"])
+            if "lstm" in dp:
+                x, new_dec["lstm"] = lstm_skip_step(dp["lstm"], x, ds["lstm"])
+        else:
+            prev = dp["groups"][stage - 1]
+            for j, rp in enumerate(prev["res"]):
+                x, rs = resblock_step(rp, x, ds["groups"][stage - 1]["res"][j],
+                                      cfg.dilation_base ** j)
+                new_dec["groups"][stage - 1]["res"].append(rs)
+        x, up_s = conv_transpose1d_step(dp["groups"][stage]["up"], act(x),
+                                        ds["groups"][stage]["up"],
+                                        stride=cfg.ratios[stage])
+        new_dec["groups"][stage]["up"] = up_s
+    for j, rp in enumerate(dp["groups"][-1]["res"]):
+        x, rs = resblock_step(rp, x, ds["groups"][-1]["res"][j],
+                              cfg.dilation_base ** j)
+        new_dec["groups"][-1]["res"].append(rs)
+    x, new_dec["conv_out"] = conv1d_step(dp["conv_out"], act(x),
+                                         ds["conv_out"])
+    if cfg.final_activation == "Tanh":
+        x = jnp.tanh(x)
+    audio = x
+
+    m, wm_s = encode_step(p["wm_encoder"], state["wm_enc"], audio, cfg)
+    logits = seanet._proj(p["predictor"], m, cfg)  # 1x1 conv: stateless
+    return audio, logits, dict(skip=skip_s, dec=new_dec, wm_enc=wm_s)
 
 
 # ------------------------------------------------------------- codec facade

@@ -88,3 +88,39 @@ def test_streaming_rejects_non_causal():
         st.init_encoder_state(bad.seanet)
     with pytest.raises(AssertionError):
         st.init_decoder_state(bad.seanet)
+
+
+def test_streaming_wm_decode_matches_offline(setup):
+    """Streaming watermark decode (skip-encoder taps + label fusion +
+    detector) equals the offline wm_decode on 10 s audio."""
+    params, wav, codes, _ = setup
+    from ssr_speech_tpu.models.codec import quantize as q
+
+    rng = np.random.default_rng(7)
+    F = codes.shape[2]
+    labels = rng.integers(0, 2, size=(1, F)).astype(np.int32)
+    latents = np.asarray(q.rvq_decode(params["quantizer"],
+                                      jnp.asarray(codes)))
+    want_audio, want_logits = seanet.wm_decode(
+        params["wmdecoder"], jnp.asarray(latents), jnp.asarray(labels),
+        jnp.asarray(wav), CFG.seanet)
+    want_audio, want_logits = np.asarray(want_audio), np.asarray(want_logits)
+
+    state = st.init_wm_decoder_state(CFG.seanet)
+    step = jax.jit(lambda s, z, lab, w: st.wm_decode_step(
+        params["wmdecoder"], s, z, lab, w, CFG.seanet))
+    hop = CFG.hop_length
+    fc = 25
+    audio, logits = [], []
+    for i in range(0, F, fc):
+        a, lg, state = step(state,
+                            jnp.asarray(latents[:, i:i + fc]),
+                            jnp.asarray(labels[:, i:i + fc]),
+                            jnp.asarray(wav[:, i * hop:(i + fc) * hop]))
+        audio.append(np.asarray(a))
+        logits.append(np.asarray(lg))
+    audio = np.concatenate(audio, axis=1)
+    logits = np.concatenate(logits, axis=1)
+    assert audio.shape == want_audio.shape
+    np.testing.assert_allclose(audio, want_audio, atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(logits, want_logits, atol=2e-5, rtol=1e-4)
