@@ -173,3 +173,16 @@ def test_pretrained_codec_roundtrip_replay():
         tok.params["decoder"], q.rvq_decode(tok.params["quantizer"], codes),
         tok.cfg.seanet)).transpose(0, 2, 1)
     assert float(np.mean(np.abs(recon - z["recon"]))) < 1e-3
+
+
+def test_capture_goldens_exits_cleanly_without_weights(tmp_path):
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/capture_goldens.py",
+         "--pretrained_dir", str(tmp_path)],
+        cwd="/root/repo", capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "download the published checkpoints" in (proc.stdout + proc.stderr)
