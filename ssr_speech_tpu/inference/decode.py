@@ -49,17 +49,6 @@ def _bucket(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-# KV-cache read strategy inside one decode step: "full" reads the whole
-# (current) buffer. "bucketed" (per-layer lax.switch over static prefix
-# lengths) was measured SLOWER on v5e — TPU conditionals copy their big
-# operands, costing more than the skipped reads save. The winning mechanism
-# is cache TELESCOPING instead (see _staged_while below): the generated-
-# positions cache starts small and is re-padded between while-loop stages,
-# so every step streams only the current stage's buffer. Module-level so
-# perf probes can flip it; token streams are identical either way.
-READ_MODE = "full"
-
-
 def _staged_while(cond_fn, body, init, sizes, grow):
     """Run a while loop in cache-size stages (telescoping KV cache).
 
@@ -155,7 +144,6 @@ def _generate_impl(
         h = _embed_step_tokens(params, cfg, s.next_tokens, pe, s.y_pos, batch, dtype)
         out_h, cache = trf.transformer_decode_step(
             params["decoder"], h, s.cache, key_banned, cfg, dtype=dtype,
-            read_mode=READ_MODE,
         )
         logits = ssr_model.predict_logits(params, out_h)  # [B, K, card] f32
 
@@ -274,7 +262,7 @@ def _generate_impl(
     # holds [x ; prefix]; grow toward tmax_total as generation proceeds
     total = tmax_total if tmax_total is not None else cache.max_len
     sizes = [cache.max_len] + [
-        s for s in trf._read_buckets(total, "bucketed") if s > cache.max_len]
+        s for s in trf.cache_stage_sizes(total) if s > cache.max_len]
 
     def grow(s, size):
         pad = size - s.cache.max_len
@@ -328,7 +316,7 @@ def _generate_batched_impl(
     card = ts.cardinality
     n_groups = pfx.k.shape[1]
     batch = n_groups * S
-    gen_sizes = trf._read_buckets(_bucket(cap_total + 8, 128), "bucketed")
+    gen_sizes = trf.cache_stage_sizes(_bucket(cap_total + 8, 128))
     gen0 = trf.init_kv_cache(cfg, batch, gen_sizes[0], dtype=pfx.k.dtype)
     pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
     rows = jnp.arange(K)[None, :, None]  # [1,K,1]
@@ -375,7 +363,7 @@ def _generate_batched_impl(
         h = embed_rows(s.next_tokens, s.y_pos)
         out_h, cache = trf.transformer_decode_step_shared(
             params["decoder"], h, pfx, s.cache, key_banned, cfg,
-            n_groups=n_groups, dtype=dtype, read_mode=READ_MODE,
+            n_groups=n_groups, dtype=dtype,
         )
         logits = ssr_model.predict_logits(params, out_h)  # [B, K, card]
         if aug_text:
@@ -725,7 +713,7 @@ def generate(
     # prefill into the smallest telescoping stage that holds [x ; prefix]
     # (+1 slot so the first decode write fits); _generate_impl grows it
     need = sx_pad + p_pad + 1
-    tmax0 = next((s for s in trf._read_buckets(tmax, "bucketed") if s >= need),
+    tmax0 = next((s for s in trf.cache_stage_sizes(tmax) if s >= need),
                  tmax)
     cache, key_banned = _prefill_impl(
         params, jnp.asarray(xb_padded), jnp.asarray(prefix_padded),
@@ -866,7 +854,7 @@ def _generate_multi_impl(
     cols = jnp.arange(card)[None, None, :]
     silence = jnp.asarray(dec.silence_tokens, jnp.int32)
     length_cap = x_lens * dec.length_cap_mult  # [S]
-    gen_sizes = trf._read_buckets(_bucket(cap_total + 8, 128), "bucketed")
+    gen_sizes = trf.cache_stage_sizes(_bucket(cap_total + 8, 128))
     gen0 = trf.init_kv_cache(
         cfg, S * (2 if aug_text else 1), gen_sizes[0], dtype=pfx.k.dtype)
 
@@ -908,7 +896,7 @@ def _generate_multi_impl(
         h = embed_rows(s.next_tokens, s.y_pos)
         out_h, cache = trf.transformer_decode_step_shared(
             params["decoder"], h, pfx, s.cache, key_banned, cfg,
-            n_groups=h.shape[0], dtype=dtype, read_mode=READ_MODE,
+            n_groups=h.shape[0], dtype=dtype,
         )
         logits = ssr_model.predict_logits(params, out_h)
         if aug_text:

@@ -178,15 +178,12 @@ def transformer_forward(
     return layer_norm(h, params["final_ln_w"], params["final_ln_b"])
 
 
-def _read_buckets(tmax: int, read_mode: str, max_buckets: int = 8):
-    """Static KV-read lengths for the decode attention.
-
-    "full" -> [tmax]; "bucketed" -> up to ``max_buckets`` multiples of a
-    128-aligned chunk, so a ``lax.switch`` can stream only the valid cache
-    prefix (the flash-decoding effect in pure XLA)."""
-    if read_mode == "full" or tmax <= 128:
+def cache_stage_sizes(tmax: int, max_buckets: int = 8):
+    """Telescoping-cache stage capacities: up to ``max_buckets`` multiples of
+    a 128-aligned chunk ending at ``tmax`` (``inference.decode._staged_while``
+    grows the KV cache through these)."""
+    if tmax <= 128:
         return [tmax]
-    assert read_mode == "bucketed", read_mode
     raw = -(-tmax // max_buckets)  # ceil(tmax / max_buckets)
     chunk = max(128, -(-raw // 128) * 128)  # round up to 128
     n = -(-tmax // chunk)
@@ -257,7 +254,6 @@ def transformer_decode_step_shared(
     *,
     n_groups: int,
     dtype=jnp.bfloat16,
-    read_mode: str = "full",
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Decode step for seed-batched generation with a SHARED prompt cache.
 
@@ -265,15 +261,10 @@ def transformer_decode_step_shared(
     stored once per group and read once per group per step (the naive layout
     reads it S times); per-chain caches hold only generated positions. The
     softmax runs over the concatenated [prefix ; generated] scores — exactly
-    equivalent to single-cache attention, no online merge needed.
-
-    read_mode "bucketed": the per-chain gen cache is the dominant HBM
-    traffic at S>=8, and most of the preallocated buffer is empty early in
-    the generation — a per-layer ``lax.switch`` over static read lengths
-    streams only ``bucket(gen.length)`` positions. Cache WRITES stay outside
-    the switch (the carried buffers keep aliasing in place; branches return
-    only the [B, H, Dh] attention output), and each branch runs the same
-    joint softmax, so token streams are bit-identical to "full".
+    equivalent to single-cache attention, no online merge needed. Cache
+    traffic is bounded by the caller's telescoping stages
+    (``inference.decode._staged_while``): the whole CURRENT buffer is read,
+    and the buffer grows with the generation.
     """
     nhead = cfg.nhead
     act = _ffn_act(cfg, deterministic=True)
@@ -295,10 +286,7 @@ def transformer_decode_step_shared(
         )  # [G, Tp]
     pfx_bias = jnp.where(pfx_banned, -1e9, 0.0).astype(jnp.float32)
 
-    bucket_sizes = _read_buckets(gen.max_len, read_mode)
-    bucket_idx = (jnp.minimum(gpos // bucket_sizes[0],
-                              len(bucket_sizes) - 1)
-                  if len(bucket_sizes) > 1 else None)
+    tg = gen.max_len
 
     def attend_layer(rl, q, k_buf, v_buf, pfx_k, pfx_v):
         """Joint softmax over [prefix ; gen[:rl]] — math identical to the
@@ -334,19 +322,8 @@ def transformer_decode_step_shared(
             new_k, k[None].astype(new_k.dtype), (l, 0, 0, gpos, 0))
         new_v = jax.lax.dynamic_update_slice(
             new_v, v[None].astype(new_v.dtype), (l, 0, 0, gpos, 0))
-        q1 = q[:, :, 0, :]
-        if bucket_idx is None:
-            attn_h = attend_layer(bucket_sizes[-1], q1, new_k[l], new_v[l],
-                                  pfx.k[l], pfx.v[l])
-        else:
-            # switch over static read lengths: cache WRITES stay outside (so
-            # the carried buffers alias in place); branches only read a
-            # prefix slab and return the tiny [B, H, Dh] output
-            attn_h = jax.lax.switch(
-                bucket_idx,
-                [(lambda qq, kk, vv, pk, pv, rl=rl: attend_layer(
-                    rl, qq, kk, vv, pk, pv)) for rl in bucket_sizes],
-                q1, new_k[l], new_v[l], pfx.k[l], pfx.v[l])
+        attn_h = attend_layer(tg, q[:, :, 0, :], new_k[l], new_v[l],
+                              pfx.k[l], pfx.v[l])
         attn = attn_h.reshape(b, 1, d)
         attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
         h = h + attn
@@ -365,7 +342,6 @@ def transformer_decode_step(
     cfg: SSRModelConfig,
     *,
     dtype=jnp.bfloat16,
-    read_mode: str = "full",
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One-token decode: h_t [B, D] at position cache.length.
 
@@ -375,21 +351,14 @@ def transformer_decode_step(
     from ``cache.length``. Returns (out [B, D], cache + 1).
 
     Cache traffic is bounded by the caller's telescoping stages
-    (``inference.decode._staged_while``), so "full" reads of the CURRENT
-    stage buffer are the fast path; read_mode "bucketed" (per-layer
-    ``lax.switch`` over static read lengths) is kept for probes but measured
-    slower on v5e — TPU conditionals copy their big operands.
+    (``inference.decode._staged_while``): the whole CURRENT stage buffer is
+    read each step, and the buffer grows with the generation.
     """
     nhead = cfg.nhead
     act = _ffn_act(cfg, deterministic=True)
     b, d = h_t.shape
     pos = cache.length
     h = h_t.astype(dtype)[:, None, :]  # [B, 1, D]
-
-    bucket_sizes = _read_buckets(cache.max_len, read_mode)
-    bucket_idx = (jnp.minimum(pos // bucket_sizes[0],
-                              len(bucket_sizes) - 1)
-                  if len(bucket_sizes) > 1 else None)
 
     def attend_layer(rl, q, k_buf, v_buf):
         idx = jnp.arange(rl)[None, :]
@@ -416,15 +385,8 @@ def transformer_decode_step(
             new_k, k[None].astype(new_k.dtype), (l, 0, 0, pos, 0))
         new_v = jax.lax.dynamic_update_slice(
             new_v, v[None].astype(new_v.dtype), (l, 0, 0, pos, 0))
-        if bucket_idx is None:
-            attn = _merge_heads(
-                attend_layer(bucket_sizes[-1], q, new_k[l], new_v[l]))
-        else:
-            attn = _merge_heads(jax.lax.switch(
-                bucket_idx,
-                [(lambda qq, kk, vv, rl=rl: attend_layer(rl, qq, kk, vv))
-                 for rl in bucket_sizes],
-                q, new_k[l], new_v[l]))
+        attn = _merge_heads(
+            attend_layer(cache.max_len, q, new_k[l], new_v[l]))
         attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
         h = h + attn
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
