@@ -105,30 +105,21 @@ def predict_logits(params: Params, h: jnp.ndarray, dtype=jnp.float32) -> jnp.nda
     return jnp.einsum("...kh,khc->...kc", hidden, w2) + b2
 
 
-def ssr_forward(
+def ssr_embed(
     params: Params,
     cfg: SSRModelConfig,
     batch: Dict[str, jnp.ndarray],
     *,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
-    compute_dtype=jnp.float32,
-    predict_mask_token: bool = True,
-    predict_all: bool = False,
-    codebook_weight: Optional[Tuple[float, ...]] = None,
-) -> Dict[str, jnp.ndarray]:
-    """Training/eval forward. batch: x [B,Sx], x_lens [B], y [B,Sy,K], y_lens [B].
-
-    Returns dict(loss, top10acc, effective_ntoken, loss_by_codebook,
-    top10acc_by_codebook). Loss weighting matches reference
-    ``models/ssr.py:354-371``: sum_k mean-CE_k * ntokens_k * weight_k.
-    """
+) -> Tuple[jnp.ndarray, jnp.ndarray, jax.Array]:
+    """Embedding stage of the training forward: [x ; y] -> (h [B,Sx+Sy,D],
+    bias [B,1,S,S], rng for the transformer stack). Split out of
+    :func:`ssr_forward` so parallel schedules (e.g. the pipeline in
+    ``parallel.pipeline``) can run the transformer stack separately."""
     x, x_lens = batch["x"], batch["x_lens"]
     y, y_lens = batch["y"], batch["y_lens"]
-    B, sx = x.shape
-    sy = y.shape[1]
-    K = cfg.n_codebooks
-    ts = cfg.tokens
+    sx, sy = x.shape[1], y.shape[1]
     if rng is None:
         rng = jax.random.PRNGKey(0)
     r_text, r_tpos, r_apos, r_trm = jax.random.split(rng, 4)
@@ -142,11 +133,26 @@ def ssr_forward(
 
     h = jnp.concatenate([x_h, y_h], axis=1)
     bias = xy_attn_bias(x_lens, y_lens, sx, sy)
-    out = trf.transformer_forward(
-        params["decoder"], h, bias, cfg,
-        deterministic=deterministic, rng=r_trm, dtype=compute_dtype,
-    )
-    y_out = out[:, sx:]  # [B, Sy, D]
+    return h, bias, r_trm
+
+
+def ssr_loss_from_hidden(
+    params: Params,
+    cfg: SSRModelConfig,
+    y_out: jnp.ndarray,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    predict_mask_token: bool = True,
+    predict_all: bool = False,
+    codebook_weight: Optional[Tuple[float, ...]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Head + masked-span CE from the transformer output over the audio
+    positions (y_out [B, Sy, D]). Loss weighting matches reference
+    ``models/ssr.py:354-371``: sum_k mean-CE_k * ntokens_k * weight_k."""
+    y, y_lens = batch["y"], batch["y_lens"]
+    sy = y.shape[1]
+    K = cfg.n_codebooks
+    ts = cfg.tokens
     logits = predict_logits(params, y_out)  # [B, Sy, K, card]
 
     # next-token objective: predict y[t+1] from position t
@@ -194,6 +200,39 @@ def ssr_forward(
         loss_by_codebook=ce_mean,
         top10acc_by_codebook=acc_k * ntokens,
         top10acc=jnp.sum(acc_k * ntokens),
+    )
+
+
+def ssr_forward(
+    params: Params,
+    cfg: SSRModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    predict_mask_token: bool = True,
+    predict_all: bool = False,
+    codebook_weight: Optional[Tuple[float, ...]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Training/eval forward. batch: x [B,Sx], x_lens [B], y [B,Sy,K], y_lens [B].
+
+    Returns dict(loss, top10acc, effective_ntoken, loss_by_codebook,
+    top10acc_by_codebook). Composition of :func:`ssr_embed`, the transformer
+    stack, and :func:`ssr_loss_from_hidden`.
+    """
+    sx = batch["x"].shape[1]
+    h, bias, r_trm = ssr_embed(params, cfg, batch,
+                               deterministic=deterministic, rng=rng)
+    out = trf.transformer_forward(
+        params["decoder"], h, bias, cfg,
+        deterministic=deterministic, rng=r_trm, dtype=compute_dtype,
+    )
+    return ssr_loss_from_hidden(
+        params, cfg, out[:, sx:], batch,
+        predict_mask_token=predict_mask_token,
+        predict_all=predict_all,
+        codebook_weight=codebook_weight,
     )
 
 

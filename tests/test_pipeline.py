@@ -1,0 +1,146 @@
+"""Pipeline parallelism: GPipe schedule over the pp mesh axis.
+
+The reference has no PP (SURVEY §2.4 grep: TP/PP/SP/EP absent); this is a
+TPU-native scaling capability. These tests lock:
+  - pipelined transformer forward == plain ``transformer_forward`` for pure
+    pp stage sharding (bit-exact) and pp x tp (matmul-reduction tolerance),
+  - gradients through the shard_map/ppermute schedule == single-device,
+  - the full pp train step == the grad-accumulation train step, including
+    the optimizer update (bit-exact at float32).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssr_speech_tpu.config import OptimConfig, TrainConfig, tiny_ssr_config
+from ssr_speech_tpu.models import ssr, transformer as trf
+from ssr_speech_tpu.parallel import pipeline as pl
+from ssr_speech_tpu.training import optim as optimlib
+from ssr_speech_tpu.training.trainer import make_train_step
+
+M, MBS, SX, SY = 4, 4, 5, 9
+B = M * MBS
+
+
+def _cfg(**kw):
+    return tiny_ssr_config(num_layers=4, **kw)
+
+
+def _batch(cfg):
+    rng = np.random.default_rng(0)
+    return dict(
+        x=jnp.asarray(rng.integers(0, cfg.text_vocab_size, (B, SX)), jnp.int32),
+        x_lens=jnp.asarray([5, 4, 3, 5] * M, jnp.int32),
+        y=jnp.asarray(rng.integers(0, cfg.tokens.audio_vocab_size,
+                                   (B, SY, cfg.n_codebooks)), jnp.int32),
+        y_lens=jnp.asarray([9, 7, 8, 6] * M, jnp.int32),
+    )
+
+
+def _embedded(cfg, params):
+    h, bias, _ = ssr.ssr_embed(params, cfg, _batch(cfg), deterministic=True)
+    h_mb = h.reshape(M, MBS, *h.shape[1:])
+    bias_mb = bias.reshape(M, MBS, *bias.shape[1:])
+    return h, bias, h_mb, bias_mb
+
+
+@pytest.mark.parametrize("pp,tp", [(2, 1), (4, 1), (2, 2)])
+def test_pipeline_forward_matches_plain(pp, tp):
+    cfg = _cfg()
+    params = ssr.init_ssr(jax.random.PRNGKey(0), cfg)
+    h, bias, h_mb, bias_mb = _embedded(cfg, params)
+    ref = trf.transformer_forward(params["decoder"], h, bias, cfg,
+                                  deterministic=True, dtype=jnp.float32)
+    mesh = pl.make_pp_mesh(8, pp=pp, tp=tp)
+    out = pl.pipeline_transformer(params["decoder"], h_mb, bias_mb, cfg, mesh,
+                                  deterministic=True, dtype=jnp.float32)
+    err = float(jnp.max(jnp.abs(out.reshape(ref.shape) - ref)))
+    if tp == 1:  # pure stage sharding reorders nothing
+        assert err == 0.0, err
+    else:  # tp splits matmul reductions
+        assert err < 1e-5, err
+
+
+@pytest.mark.parametrize("pp,tp", [(2, 1), (2, 2)])
+def test_pipeline_grads_match_single_device(pp, tp):
+    cfg = _cfg()
+    params = ssr.init_ssr(jax.random.PRNGKey(0), cfg)
+    h, bias, h_mb, bias_mb = _embedded(cfg, params)
+    w = jnp.asarray(np.random.default_rng(1).normal(size=h.shape), jnp.float32)
+
+    def ref_loss(dec, hh):
+        out = trf.transformer_forward(dec, hh, bias, cfg,
+                                      deterministic=True, dtype=jnp.float32)
+        return jnp.sum(out * w)
+
+    g_dec, g_h = jax.grad(ref_loss, argnums=(0, 1))(params["decoder"], h)
+
+    mesh = pl.make_pp_mesh(8, pp=pp, tp=tp)
+    w_mb = w.reshape(M, MBS, *w.shape[1:])
+
+    def pl_loss(dec, hm):
+        out = pl.pipeline_transformer(dec, hm, bias_mb, cfg, mesh,
+                                      deterministic=True, dtype=jnp.float32)
+        return jnp.sum(out * w_mb)
+
+    g_dec2, g_h2 = jax.grad(pl_loss, argnums=(0, 1))(params["decoder"], h_mb)
+    eh = float(jnp.max(jnp.abs(g_h2.reshape(h.shape) - g_h)))
+    assert eh < 1e-5, eh
+    for k in g_dec["layers"]:
+        e = float(jnp.max(jnp.abs(g_dec2["layers"][k] - g_dec["layers"][k])))
+        ref_scale = float(jnp.max(jnp.abs(g_dec["layers"][k]))) + 1e-6
+        assert e / ref_scale < 1e-5, (k, e, ref_scale)
+
+
+@pytest.mark.parametrize("opt_name", [
+    "adamw",
+    pytest.param("scaledadam", marks=pytest.mark.slow),
+])
+def test_pp_train_step_matches_accum_step(opt_name):
+    cfg = _cfg(trm_dropout=0.0, text_positional_embedding_dropout=0.0,
+               audio_positional_embedding_dropout=0.0,
+               text_embedding_dropout=0.0)
+    tcfg = TrainConfig(precision="float32", gradient_accumulation_steps=M,
+                       optim=OptimConfig(optimizer_name=opt_name, lr=1e-3))
+    params = ssr.init_ssr(jax.random.PRNGKey(0), cfg)
+    opt, _ = optimlib.build_optimizer(tcfg.optim, 100)
+    batch = _batch(cfg)
+
+    st_ref = make_train_step(cfg, tcfg, opt)
+    batch_mb = jax.tree.map(lambda a: a.reshape((M, MBS) + a.shape[1:]), batch)
+    p1, _, m1 = st_ref(jax.tree.map(jnp.copy, params), opt.init(params),
+                       batch_mb, jax.random.PRNGKey(7))
+
+    mesh = pl.make_pp_mesh(8, pp=2, tp=2)
+    pstep = pl.make_pp_train_step(cfg, tcfg, opt, mesh, n_micro=M)
+    pshard = pl.shard_params_pp(mesh, jax.tree.map(jnp.copy, params))
+    p2, _, m2 = pstep(pshard, opt.init(pshard), batch, jax.random.PRNGKey(7))
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+    assert float(m1["ntokens"]) == float(m2["ntokens"])
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_pp_train_step_runs_with_dropout_and_bf16():
+    """Compile/shape check of the production configuration: dropout on,
+    bf16 compute, pp=2 x dp=2 x tp=2, two steps chained."""
+    cfg = _cfg()
+    tcfg = TrainConfig(precision="bfloat16", gradient_accumulation_steps=1,
+                       optim=OptimConfig(optimizer_name="scaledadam",
+                                         clipping_scale=2.0))
+    params = ssr.init_ssr(jax.random.PRNGKey(0), cfg)
+    opt, _ = optimlib.build_optimizer(tcfg.optim, 100)
+    mesh = pl.make_pp_mesh(8, pp=2, tp=2)
+    pstep = pl.make_pp_train_step(cfg, tcfg, opt, mesh, n_micro=M)
+    p = pl.shard_params_pp(mesh, params)
+    s = opt.init(p)
+    batch = _batch(cfg)
+    p, s, m1 = pstep(p, s, batch, jax.random.PRNGKey(1))
+    p, s, m2 = pstep(p, s, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert float(m1["skipped"]) == 0.0
