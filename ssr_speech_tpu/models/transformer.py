@@ -133,6 +133,7 @@ def transformer_forward(
     rng: Optional[jax.Array] = None,
     dtype=jnp.float32,
     remat: bool = True,
+    act_sharding=None,
 ) -> jnp.ndarray:
     """Full-sequence forward (training / prefill without cache capture).
 
@@ -142,6 +143,13 @@ def transformer_forward(
     remat: rematerialize each layer in the backward pass — without it the
     scan saves every layer's [B, H, S, S] attention matrix (the 830M model at
     B=8/S=1280 needs 41 GB of HLO temps; with remat it fits one v5e chip).
+
+    act_sharding: optional ``NamedSharding`` pinned onto the residual stream
+    at every layer boundary. Passing e.g. ``P('dp', 'tp', None)`` gives
+    Megatron-style SEQUENCE PARALLELISM: the norms/dropouts/residual adds run
+    sequence-sharded over the tp group and XLA places all-gather /
+    reduce-scatter around the attention and ffn blocks (numerics identical —
+    ``tests/test_parallel.py::test_sequence_parallel_matches``).
     """
     nhead, rate = cfg.nhead, cfg.trm_dropout
     act = _ffn_act(cfg, deterministic)
@@ -149,6 +157,10 @@ def transformer_forward(
     bias = bias.astype(jnp.float32)
     if rng is None:
         rng = jax.random.PRNGKey(0)
+
+    def _pin(x):
+        return (jax.lax.with_sharding_constraint(x, act_sharding)
+                if act_sharding is not None else x)
 
     def body(carry, lp):
         h, key = carry
@@ -158,12 +170,12 @@ def transformer_forward(
         q, k, v = jnp.split(qkv, 3, axis=-1)
         attn = _attend(_split_heads(q, nhead), _split_heads(k, nhead), _split_heads(v, nhead), bias)
         attn = _merge_heads(attn) @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
-        h = h + _dropout(attn, rate, k1, deterministic)
+        h = _pin(h + _dropout(attn, rate, k1, deterministic))
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
         ff = act(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
         ff = _dropout(ff, rate, k2, deterministic)
         ff = ff @ lp["ffn2_w"].astype(dtype) + lp["ffn2_b"].astype(dtype)
-        h = h + _dropout(ff, rate, k3, deterministic)
+        h = _pin(h + _dropout(ff, rate, k3, deterministic))
         return (h, key), None
 
     if remat:
@@ -174,7 +186,7 @@ def transformer_forward(
                      if REMAT_POLICY is not None else jax.checkpoint(body))
     else:
         scan_body = body
-    (h, _), _ = jax.lax.scan(scan_body, (h, rng), params["layers"])
+    (h, _), _ = jax.lax.scan(scan_body, (_pin(h), rng), params["layers"])
     return layer_norm(h, params["final_ln_w"], params["final_ln_b"])
 
 

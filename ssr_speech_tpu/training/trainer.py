@@ -46,12 +46,24 @@ def make_train_step(
     tcfg: TrainConfig,
     optimizer,
     mesh=None,
+    sequence_parallel: bool = False,
 ):
     """Build the jitted train step. batch arrays: x [B,Sx], x_lens, y [B,Sy,K],
-    y_lens; with grad accumulation the leading dim is [A, B/A, ...]."""
+    y_lens; with grad accumulation the leading dim is [A, B/A, ...].
+
+    sequence_parallel: additionally shard the residual stream's sequence axis
+    over the tp group at every layer boundary (Megatron-SP; needs a mesh with
+    a tp axis) — norms/dropouts/residuals run sequence-sharded and XLA places
+    gather/scatter collectives around attention/ffn. Numerics are unchanged
+    (tests/test_parallel.py::test_sequence_parallel_matches)."""
     compute_dtype = jnp.bfloat16 if tcfg.precision == "bfloat16" else jnp.float32
     normalize = tcfg.optim.optimizer_name.lower() != "scaledadam"
     cw = tcfg.codebook_weight
+    act_sharding = None
+    if sequence_parallel:
+        assert mesh is not None and "tp" in mesh.axis_names, mesh
+        from jax.sharding import NamedSharding
+        act_sharding = NamedSharding(mesh, P("dp", "tp", None))
 
     def loss_fn(params, batch, rng):
         out = ssr_model.ssr_forward(
@@ -60,6 +72,7 @@ def make_train_step(
             predict_mask_token=tcfg.masking.predict_mask_token,
             predict_all=tcfg.masking.predict_all,
             codebook_weight=cw,
+            act_sharding=act_sharding,
         )
         loss = out["loss"]
         if normalize:

@@ -74,6 +74,43 @@ def test_sharded_grads_match_single_device():
         )
 
 
+def test_sequence_parallel_matches():
+    """Megatron-SP: the residual stream's sequence axis pinned onto the tp
+    group at every layer boundary (transformer_forward act_sharding) changes
+    neither the loss nor the gradients."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    params = ssr_model.init_ssr(jax.random.PRNGKey(3), CFG)
+    batch = make_batch(seed=3)
+
+    def loss_plain(p, b):
+        return ssr_model.ssr_forward(p, CFG, b, deterministic=True)["loss"]
+
+    want_loss = jax.jit(loss_plain)(params, batch)
+    want_grad = jax.jit(jax.grad(loss_plain))(params, batch)
+
+    mesh = meshlib.make_mesh(n_devices=8, tp=4)
+    act = NamedSharding(mesh, P("dp", "tp", None))
+
+    def loss_sp(p, b):
+        return ssr_model.ssr_forward(p, CFG, b, deterministic=True,
+                                     act_sharding=act)["loss"]
+
+    with mesh:
+        sp = meshlib.shard_tree(mesh, params, meshlib.ssr_param_specs(params))
+        sb = meshlib.shard_tree(mesh, batch, meshlib.batch_specs())
+        got_loss = jax.jit(loss_sp)(sp, sb)
+        got_grad = jax.jit(jax.grad(loss_sp))(sp, sb)
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    key = lambda kv: str(kv[0])
+    for (ka, a), (_, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(want_grad), key=key),
+        sorted(jax.tree_util.tree_leaves_with_path(got_grad), key=key),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5, err_msg=str(ka))
+
+
 def test_fsdp_sharded_forward_matches():
     """FSDP-style layer-stack sharding over dp (reference has FSDP wired but
     off, optim/fsdp.py:51; here it's a sharding spec): layer params sharded
