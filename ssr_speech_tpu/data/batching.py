@@ -52,6 +52,12 @@ class BucketBatcher:
         self.budget = (max_num_tokens or data_cfg.max_num_tokens) * world_size
         self.seed = seed
         self.pad_multiple = pad_multiple
+        # batch ROWS padded up to a multiple of world_size so dp / pipeline
+        # sharding stays valid even when corrupt items are dropped; pad rows
+        # have x_lens = y_lens = 0 and contribute zero loss/metrics (all
+        # their targets are masked; an all-banned bias row softmaxes to a
+        # finite uniform distribution)
+        self.rows_multiple = max(world_size, 1)
         lengths = dataset.lengths()
         self.bounds = bucket_boundaries(lengths, data_cfg.num_buckets)
         self.assignment = np.searchsorted(self.bounds, lengths)
@@ -113,6 +119,8 @@ class BucketBatcher:
         if not items:
             return None
         n = len(items)
+        m = self.rows_multiple
+        n = ((n + m - 1) // m) * m  # zero-length pad rows fill the remainder
         sx, sy = self.pad_x, self.pad_y[b]
         x = np.full((n, sx), self.cfg.text_pad_token, np.int32)
         y = np.full((n, sy, self.cfg.n_codebooks), ts.pad, np.int32)

@@ -76,6 +76,12 @@ def build_parser():
     p.add_argument("--n_codebooks", type=int, default=4)
     # parallelism
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages (GPipe microbatch schedule)")
+    p.add_argument("--n_micro", type=int, default=None,
+                   help="pipeline microbatches per step (default 2*pp)")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="Megatron-SP activation sharding over the tp group")
     p.add_argument("--load_model_from", default=None)
     p.add_argument("--benchmark_no_load", action="store_true",
                    help="repeat one batch to benchmark the step loop")
@@ -155,8 +161,16 @@ def main(argv=None):
 
     import jax
 
-    mesh = meshlib.make_mesh(tp=args.tp)
-    world = len(jax.devices()) // args.tp
+    if args.pp > 1:
+        from .parallel import pipeline as pl
+
+        mesh = pl.make_pp_mesh(pp=args.pp, tp=args.tp)
+        # every batch must split into n_micro microbatches, each dp-sharded
+        world = (len(jax.devices()) // (args.pp * args.tp)) \
+            * (args.n_micro or 2 * args.pp)
+    else:
+        mesh = meshlib.make_mesh(tp=args.tp)
+        world = len(jax.devices()) // args.tp
 
     train_ds = SpeechDataset(cfg, tcfg.data, tcfg.masking, "train", seed=args.seed)
     train_batcher = BucketBatcher(train_ds, cfg, tcfg.data, world_size=world,
@@ -172,7 +186,8 @@ def main(argv=None):
 
     trainer = Trainer(cfg, tcfg, prefetch(train_batcher), valid_loader,
                       phn2num=train_ds.phn2num, mesh=mesh,
-                      exp_dir=args.exp_dir)
+                      exp_dir=args.exp_dir, pp=args.pp, n_micro=args.n_micro,
+                      sequence_parallel=args.sequence_parallel)
     resume_path = os.path.join(args.exp_dir, "bundle.pkl")
     if args.resume and os.path.isfile(resume_path):
         trainer.load_bundle(resume_path)

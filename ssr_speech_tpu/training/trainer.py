@@ -174,7 +174,14 @@ class Trainer:
         phn2num: Optional[Dict[str, int]] = None,
         mesh=None,
         exp_dir: Optional[str] = None,
+        pp: int = 1,
+        n_micro: Optional[int] = None,
+        sequence_parallel: bool = False,
     ):
+        """pp > 1 selects the GPipe pipeline step (``parallel.pipeline``;
+        mesh must then carry a ``pp`` axis, e.g. ``pipeline.make_pp_mesh``);
+        sequence_parallel enables Megatron-SP activation sharding on the
+        GSPMD step (needs a tp axis)."""
         self.cfg, self.tcfg = cfg, tcfg
         self.train_loader, self.valid_loader = train_loader, valid_loader
         self.phn2num = phn2num or {}
@@ -188,7 +195,17 @@ class Trainer:
         total = tcfg.num_steps or 100000
         self.optimizer, self.schedule = optimlib.build_optimizer(tcfg.optim, total)
         self.opt_state = self.optimizer.init(self.params)
-        self.train_step = make_train_step(cfg, tcfg, self.optimizer, mesh)
+        if pp > 1:
+            from ..parallel import pipeline as pl
+
+            self.params = pl.shard_params_pp(mesh, self.params)
+            self.opt_state = self.optimizer.init(self.params)
+            self.train_step = pl.make_pp_train_step(
+                cfg, tcfg, self.optimizer, mesh, n_micro=n_micro)
+        else:
+            self.train_step = make_train_step(
+                cfg, tcfg, self.optimizer, mesh,
+                sequence_parallel=sequence_parallel)
         self.eval_step = make_eval_step(cfg, tcfg)
         self.progress = dict(step=0, epoch=0, cur_step=0, best_step=0,
                              best_score=float("inf"))

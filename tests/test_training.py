@@ -281,6 +281,66 @@ def test_batcher_resume_skips_consumed_batches(tmp_path):
     np.testing.assert_array_equal(resumed[0]["x"], full[2]["x"])
 
 
+def test_batcher_pads_rows_to_world_multiple(tmp_path):
+    """With world_size > 1 every batch's row count is a multiple of it
+    (zero-length pad rows fill up after corrupt-item drops) and the pad rows
+    contribute exactly zero loss."""
+    root = make_synth_corpus(tmp_path, n=11)
+    dcfg = DataConfig(dataset_dir=root, encodec_folder_name="codes",
+                      audio_min_length=2.0, audio_max_length=10.0,
+                      text_min_length=5, num_buckets=2, max_num_tokens=3000)
+    ds = SpeechDataset(CFG, dcfg, MaskingConfig(), "train")
+    tb = BucketBatcher(ds, CFG, dcfg, world_size=4)
+    batches = list(tb(0))
+    assert batches
+    saw_padded = False
+    params = ssr_model.init_ssr(jax.random.PRNGKey(0), CFG)
+    for b in batches:
+        assert b["x"].shape[0] % 4 == 0
+        n_pad = int(np.sum(b["y_lens"] == 0))
+        if n_pad:
+            saw_padded = True
+            out_with = ssr_model.ssr_forward(params, CFG, b, deterministic=True)
+            real = {k: v[b["y_lens"] > 0] for k, v in b.items()}
+            out_wo = ssr_model.ssr_forward(params, CFG, real, deterministic=True)
+            assert float(out_with["loss"]) == float(out_wo["loss"])
+            assert float(out_with["effective_ntoken"]) == float(
+                out_wo["effective_ntoken"])
+    assert saw_padded  # 11 items cannot tile multiples of 4 on every batch
+
+
+@pytest.mark.slow
+def test_trainer_pp_loop(tmp_path):
+    """Trainer wired to the pipeline step (pp=2 x dp=2 x tp=2): a few steps
+    on the synthetic corpus, finite metrics, bundle written."""
+    from ssr_speech_tpu.data.prefetch import prefetch
+    from ssr_speech_tpu.parallel import pipeline as pl
+    from ssr_speech_tpu.training.trainer import Trainer
+
+    root = make_synth_corpus(tmp_path, n=16)
+    n_micro = 2
+    mesh = pl.make_pp_mesh(8, pp=2, tp=2)
+    dp = 2
+    dcfg = DataConfig(dataset_dir=root, encodec_folder_name="codes",
+                      audio_min_length=2.0, audio_max_length=10.0,
+                      text_min_length=5, num_buckets=2, max_num_tokens=3000,
+                      exp_dir=str(tmp_path / "exp_pp"))
+    tcfg = TrainConfig(
+        precision="float32", num_steps=2, val_every_n_steps=100,
+        print_every_n_steps=1, early_stop_step=100,
+        optim=OptimConfig(optimizer_name="adamw", lr=1e-4,
+                          clipping_scale=None),
+        data=dcfg,
+    )
+    ds = SpeechDataset(CFG, dcfg, MaskingConfig(), "train")
+    tb = BucketBatcher(ds, CFG, dcfg, world_size=dp * n_micro)
+    tr = Trainer(CFG, tcfg, prefetch(tb), None, phn2num=ds.phn2num,
+                 mesh=mesh, exp_dir=dcfg.exp_dir, pp=2, n_micro=n_micro)
+    progress = tr.train()
+    assert progress["step"] >= 2
+    assert os.path.isfile(os.path.join(dcfg.exp_dir, "bundle.pkl"))
+
+
 @pytest.mark.slow
 def test_trainer_end_to_end_loop(tmp_path):
     """Full Trainer: synthetic corpus -> a few steps -> validate + bundles
