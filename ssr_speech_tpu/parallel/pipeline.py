@@ -107,7 +107,7 @@ def pp_param_specs() -> Dict[str, Any]:
 
 def _apply_stage(layers_local, h, bias, mkey, *, cfg: SSRModelConfig,
                  stage, layers_per_stage: int, tp_size: int, dtype,
-                 deterministic: bool, remat: bool):
+                 deterministic: bool, remat: bool, unroll: bool = False):
     """Apply this stage's contiguous layer slice to one microbatch.
 
     layers_local: stage slice, leaves [Ls, ...] (tp blocks already local).
@@ -147,14 +147,20 @@ def _apply_stage(layers_local, h, bias, mkey, *, cfg: SSRModelConfig,
         return h, None
 
     scan_body = jax.checkpoint(body) if remat else body
-    h, _ = jax.lax.scan(scan_body, h.astype(dtype),
-                        (layers_local, jnp.arange(layers_per_stage)))
+    if unroll:  # same grad-stacking win as transformer_forward(unroll=True)
+        h = h.astype(dtype)
+        for li in range(layers_per_stage):
+            lp = jax.tree.map(lambda a: a[li], layers_local)
+            h, _ = scan_body(h, (lp, jnp.asarray(li)))
+    else:
+        h, _ = jax.lax.scan(scan_body, h.astype(dtype),
+                            (layers_local, jnp.arange(layers_per_stage)))
     return h
 
 
 def _pipeline_local(layers_local, h_all, bias_all, rng, *, cfg: SSRModelConfig,
                     pp: int, tp_size: int, dtype, deterministic: bool,
-                    remat: bool):
+                    remat: bool, unroll: bool = False):
     """shard_map body: the GPipe tick loop on ONE device (= one pp stage,
     one dp batch shard, one tp block).
 
@@ -180,7 +186,8 @@ def _pipeline_local(layers_local, h_all, bias_all, rng, *, cfg: SSRModelConfig,
         mkey = jax.random.fold_in(rng, m_here)
         y = _apply_stage(layers_local, inp, bias, mkey, cfg=cfg, stage=stage,
                          layers_per_stage=layers_per_stage, tp_size=tp_size,
-                         dtype=dtype, deterministic=deterministic, remat=remat)
+                         dtype=dtype, deterministic=deterministic, remat=remat,
+                         unroll=unroll)
         # last stage writes microbatch t-(P-1)'s finished activations
         m_out = t - (pp - 1)
         write = (stage == pp - 1) & (m_out >= 0)
@@ -208,6 +215,7 @@ def pipeline_transformer(
     deterministic: bool = True,
     dtype=jnp.bfloat16,
     remat: bool = True,
+    unroll: bool = False,
 ) -> jnp.ndarray:
     """Pipelined equivalent of ``transformer_forward`` over microbatches.
 
@@ -236,7 +244,7 @@ def pipeline_transformer(
 
     body = functools.partial(
         _pipeline_local, cfg=cfg, pp=pp, tp_size=tp_size, dtype=dtype,
-        deterministic=deterministic, remat=remat)
+        deterministic=deterministic, remat=remat, unroll=unroll)
     out = _shard_map(
         body, mesh=mesh,
         in_specs=(lspecs, act_spec, bias_spec, P()),
@@ -252,6 +260,7 @@ def make_pp_train_step(
     optimizer,
     mesh: Mesh,
     n_micro: Optional[int] = None,
+    unroll: Optional[bool] = None,
 ):
     """Jitted pipeline-parallel train step over a ``(pp, dp, tp)`` mesh.
 
@@ -267,6 +276,8 @@ def make_pp_train_step(
 
     pp = mesh.shape["pp"]
     n_micro = n_micro or 2 * pp
+    if unroll is None:  # unroll the per-stage layer loop on TPU (1.58x)
+        unroll = jax.default_backend() in ("tpu", "axon")
     compute_dtype = jnp.bfloat16 if tcfg.precision == "bfloat16" else jnp.float32
     normalize = tcfg.optim.optimizer_name.lower() != "scaledadam"
     cw = tcfg.codebook_weight
@@ -282,7 +293,8 @@ def make_pp_train_step(
         )(mb, keys[1:])
         out = pipeline_transformer(
             params["decoder"], h_mb, bias_mb, cfg, mesh,
-            rng=keys[0], deterministic=False, dtype=compute_dtype)
+            rng=keys[0], deterministic=False, dtype=compute_dtype,
+            unroll=unroll)
 
         def mb_loss(o, b):
             res = ssr_model.ssr_loss_from_hidden(

@@ -82,6 +82,9 @@ def build_parser():
                    help="pipeline microbatches per step (default 2*pp)")
     p.add_argument("--sequence_parallel", action="store_true",
                    help="Megatron-SP activation sharding over the tp group")
+    p.add_argument("--unroll_layers", type=int, default=None,
+                   help="1 = unroll the layer loop (1.58x on TPU; the "
+                        "default there), 0 = lax.scan; default: by backend")
     p.add_argument("--load_model_from", default=None)
     p.add_argument("--benchmark_no_load", action="store_true",
                    help="repeat one batch to benchmark the step loop")
@@ -187,7 +190,9 @@ def main(argv=None):
     trainer = Trainer(cfg, tcfg, prefetch(train_batcher), valid_loader,
                       phn2num=train_ds.phn2num, mesh=mesh,
                       exp_dir=args.exp_dir, pp=args.pp, n_micro=args.n_micro,
-                      sequence_parallel=args.sequence_parallel)
+                      sequence_parallel=args.sequence_parallel,
+                      unroll=(None if args.unroll_layers is None
+                              else bool(args.unroll_layers)))
     resume_path = os.path.join(args.exp_dir, "bundle.pkl")
     if args.resume and os.path.isfile(resume_path):
         trainer.load_bundle(resume_path)

@@ -46,8 +46,9 @@ def _embedded(cfg, params):
     return h, bias, h_mb, bias_mb
 
 
-@pytest.mark.parametrize("pp,tp", [(2, 1), (4, 1), (2, 2)])
-def test_pipeline_forward_matches_plain(pp, tp):
+@pytest.mark.parametrize("pp,tp,unroll", [(2, 1, False), (4, 1, False),
+                                          (2, 2, False), (2, 2, True)])
+def test_pipeline_forward_matches_plain(pp, tp, unroll):
     cfg = _cfg()
     params = ssr.init_ssr(jax.random.PRNGKey(0), cfg)
     h, bias, h_mb, bias_mb = _embedded(cfg, params)
@@ -55,7 +56,8 @@ def test_pipeline_forward_matches_plain(pp, tp):
                                   deterministic=True, dtype=jnp.float32)
     mesh = pl.make_pp_mesh(8, pp=pp, tp=tp)
     out = pl.pipeline_transformer(params["decoder"], h_mb, bias_mb, cfg, mesh,
-                                  deterministic=True, dtype=jnp.float32)
+                                  deterministic=True, dtype=jnp.float32,
+                                  unroll=unroll)
     err = float(jnp.max(jnp.abs(out.reshape(ref.shape) - ref)))
     if tp == 1:  # pure stage sharding reorders nothing
         assert err == 0.0, err

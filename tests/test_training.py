@@ -281,6 +281,28 @@ def test_batcher_resume_skips_consumed_batches(tmp_path):
     np.testing.assert_array_equal(resumed[0]["x"], full[2]["x"])
 
 
+def test_unrolled_layer_loop_matches_scan():
+    """transformer_forward(unroll=True) — the 1.58x TPU training path — must
+    match the lax.scan path exactly (same body, same dropout key chain),
+    loss and grads, including with dropout active."""
+    params = ssr_model.init_ssr(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(3)
+    batch = synth_batch(rng)
+    key = jax.random.PRNGKey(9)
+
+    def loss(p, unroll):
+        return ssr_model.ssr_forward(
+            p, CFG, batch, deterministic=False, rng=key, unroll=unroll
+        )["loss"]
+
+    l_scan, g_scan = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l_unr, g_unr = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l_unr), float(l_scan), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_scan), jax.tree.leaves(g_unr)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_batcher_pads_rows_to_world_multiple(tmp_path):
     """With world_size > 1 every batch's row count is a multiple of it
     (zero-length pad rows fill up after corrupt-item drops) and the pad rows
