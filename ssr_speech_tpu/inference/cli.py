@@ -90,6 +90,84 @@ def load_codec(path: str):
     return pretrained.load_codec(path)
 
 
+def resolve_alignment(orig_audio, orig_transcript, *, alignment_file=None,
+                      align_model=None, whisper_model=None):
+    """Word alignment [(word, start, end)] from one of: a precomputed CSV, a
+    wav2vec2 forced aligner over the known transcript (whisperx-equivalent),
+    or transformers-Whisper ASR (optionally re-aligned)."""
+    if alignment_file:
+        return read_alignment(alignment_file)
+    if align_model and orig_transcript:
+        from ..utils.forced_align import Wav2Vec2Aligner
+
+        return Wav2Vec2Aligner(align_model).align(orig_audio, orig_transcript)
+    if whisper_model:
+        from ..utils.asr import WhisperAligner
+
+        words = WhisperAligner(whisper_model).transcribe(orig_audio)
+        if align_model:  # re-align the ASR transcript with wav2vec2
+            from ..utils.forced_align import Wav2Vec2Aligner
+
+            words = Wav2Vec2Aligner(align_model).align(
+                orig_audio, " ".join(w for w, _, _ in words))
+        return words
+    raise SystemExit("need --alignment_file, --align_model with "
+                     "--orig_transcript, or --whisper_model")
+
+
+def prepare_job(words, orig_transcript, target_transcript, audio_dur, *,
+                language="en", tts=False, codec_sr=50, sub_amount=0.12,
+                prompt_length=3.0):
+    """Host preprocessing for one utterance: text normalization, edit-span
+    diff and codec-frame mask intervals. Returns
+    (orig_transcript, target_transcript, target_text, mask_intervals) —
+    ``target_transcript`` is the digit-normalized (and zh-simplified) edit
+    text alone; ``target_text`` is what the LM consumes (for TTS the prompt
+    transcript is prepended)."""
+    from ..utils.text_norm import (normalize_aligned_words,
+                                   replace_numbers_with_words)
+    from . import edit as edit_mod
+    from . import pipeline
+
+    # digits -> spelled-out words on the alignment AND both transcripts:
+    # phonemizing "42" vs "forty-two" changes the token stream (the reference
+    # normalizes every ASR segment, inference_v2.py:45-53,90-94)
+    words = normalize_aligned_words(words)
+    target_transcript = replace_numbers_with_words(target_transcript)
+    if orig_transcript:
+        orig_transcript = replace_numbers_with_words(orig_transcript)
+    orig_transcript = orig_transcript or " ".join(w for w, _, _ in words)
+    if language == "zh":
+        try:  # traditional -> simplified, reference inference_v2.py:114-122
+            from opencc import OpenCC  # host-side optional dep
+
+            cc = OpenCC("t2s")
+            orig_transcript = cc.convert(orig_transcript)
+            target_transcript = cc.convert(target_transcript)
+        except ImportError:
+            logging.warning("opencc unavailable; skipping t2s conversion")
+
+    # --- edit spans -> codec-frame mask intervals ---
+    if language == "zh":
+        parse = edit_mod.parse_tts_zh if tts else edit_mod.parse_edit_zh
+    else:
+        parse = edit_mod.parse_tts_en if tts else edit_mod.parse_edit_en
+    spans = parse(orig_transcript, target_transcript)
+    if tts:
+        target_text = orig_transcript + " " + target_transcript \
+            if language == "en" else orig_transcript + target_transcript
+        _, cut = pipeline.cut_prompt_for_tts(words, prompt_length)
+        # TTS masks from the prompt boundary to audio end (the reference cuts
+        # the audio at the prompt and masks pure future, inference_v2.py:324)
+        mask_intervals = [(int(cut * codec_sr), int(audio_dur * codec_sr))]
+    else:
+        target_text = target_transcript
+        mask_intervals = pipeline.spans_to_mask_intervals(
+            words, spans, audio_dur, codec_sr, sub_amount
+        )
+    return orig_transcript, target_transcript, target_text, mask_intervals
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -98,7 +176,6 @@ def main(argv=None):
     from ..config import DecodeConfig
     from ..data.tokenizer import TextTokenizer
     from ..utils import audio as audio_io
-    from . import edit as edit_mod
     from . import pipeline
 
     params, cfg, phn2num = load_lm(args.model_path)
@@ -106,69 +183,19 @@ def main(argv=None):
     lang = "cmn" if args.language == "zh" else "en-us"
     text_tok = TextTokenizer(language=lang)
 
-    # --- transcript + word alignment (host preprocessing) ---
-    if args.alignment_file:
-        words = read_alignment(args.alignment_file)
-    elif args.align_model and args.orig_transcript:
-        # forced alignment of the known transcript (whisperx-equivalent)
-        from ..utils.forced_align import Wav2Vec2Aligner
-
-        words = Wav2Vec2Aligner(args.align_model).align(
-            args.orig_audio, args.orig_transcript)
-    elif args.whisper_model:
-        from ..utils.asr import WhisperAligner
-
-        words = WhisperAligner(args.whisper_model).transcribe(args.orig_audio)
-        if args.align_model:  # re-align the ASR transcript with wav2vec2
-            from ..utils.forced_align import Wav2Vec2Aligner
-
-            words = Wav2Vec2Aligner(args.align_model).align(
-                args.orig_audio, " ".join(w for w, _, _ in words))
-    else:
-        raise SystemExit("need --alignment_file, --align_model with "
-                         "--orig_transcript, or --whisper_model")
-    # digits -> spelled-out words on the alignment AND both transcripts:
-    # phonemizing "42" vs "forty-two" changes the token stream (the reference
-    # normalizes every ASR segment, inference_v2.py:45-53,90-94)
-    from ..utils.text_norm import normalize_aligned_words, replace_numbers_with_words
-
-    words = normalize_aligned_words(words)
-    args.target_transcript = replace_numbers_with_words(args.target_transcript)
-    if args.orig_transcript:
-        args.orig_transcript = replace_numbers_with_words(args.orig_transcript)
-    orig_transcript = args.orig_transcript or " ".join(w for w, _, _ in words)
-    if args.language == "zh":
-        try:  # traditional -> simplified, reference inference_v2.py:114-122
-            from opencc import OpenCC  # host-side optional dep
-
-            cc = OpenCC("t2s")
-            orig_transcript = cc.convert(orig_transcript)
-            args.target_transcript = cc.convert(args.target_transcript)
-        except ImportError:
-            logging.warning("opencc unavailable; skipping t2s conversion")
+    words = resolve_alignment(
+        args.orig_audio, args.orig_transcript,
+        alignment_file=args.alignment_file, align_model=args.align_model,
+        whisper_model=args.whisper_model)
 
     wav, sr = audio_io.read_wav(args.orig_audio)
     audio_dur = wav.shape[-1] / sr
 
-    # --- edit spans -> codec-frame mask intervals ---
-    if args.language == "zh":
-        parse = edit_mod.parse_tts_zh if args.tts else edit_mod.parse_edit_zh
-    else:
-        parse = edit_mod.parse_tts_en if args.tts else edit_mod.parse_edit_en
-    spans = parse(orig_transcript, args.target_transcript)
-    if args.tts:
-        target_text = orig_transcript + " " + args.target_transcript \
-            if args.language == "en" else orig_transcript + args.target_transcript
-        _, cut = pipeline.cut_prompt_for_tts(words, args.prompt_length)
-        # TTS masks from the prompt boundary to audio end (the reference cuts
-        # the audio at the prompt and masks pure future, inference_v2.py:324)
-        mask_intervals = [(int(cut * args.codec_sr),
-                           int(audio_dur * args.codec_sr))]
-    else:
-        target_text = args.target_transcript
-        mask_intervals = pipeline.spans_to_mask_intervals(
-            words, spans, audio_dur, args.codec_sr, args.sub_amount
-        )
+    orig_transcript, args.target_transcript, target_text, mask_intervals = \
+        prepare_job(
+            words, args.orig_transcript, args.target_transcript, audio_dur,
+            language=args.language, tts=args.tts, codec_sr=args.codec_sr,
+            sub_amount=args.sub_amount, prompt_length=args.prompt_length)
     logging.info("mask intervals (codec frames): %s", mask_intervals)
 
     dec = DecodeConfig(

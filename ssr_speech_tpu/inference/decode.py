@@ -754,6 +754,113 @@ def generate(
 
 # --------------------------------------------------------------- multi-prompt
 
+def _advance_chains(s, lg, k_samp, num_cfg, *, ts, dec, num_task,
+                    length_cap, n_tasks, sentinel_ids, static_ban, silence):
+    """One step of per-chain constrained-sampling bookkeeping, shared by
+    :func:`_generate_multi_impl` and the continuous-batching server
+    (``inference.serve``).
+
+    ``s`` is any NamedTuple carrying the vectorized chain fields (y_pos,
+    next_tokens, out, out_len, span_idx, span_end, num_gen, num_eog,
+    prev_token, consec_silence, num_cfg, done); ``lg`` the CFG-mixed logits
+    [S, K, card]; ``num_cfg`` the caller's post-mix stride counter. Applies
+    the reference's sampling state machine (``models/ssr.py:698-748``:
+    eos/sos/mts ban, leading-empty forcing, EOG cascade, silence-repetition
+    penalty, length caps) vectorized over chains, samples, and advances span
+    /done state. Returns a dict of updated fields (frozen chains unchanged).
+    """
+    S, K, card = lg.shape
+    rows = jnp.arange(K)[None, :, None]
+    cols = jnp.arange(card)[None, None, :]
+
+    lg = jnp.where(static_ban, NEG, lg)
+    lg = jnp.where((rows > s.num_gen[:, None, None]) & (cols == ts.empty),
+                   POS, lg)
+    in_cascade = (s.num_eog > 0)[:, None, None]
+    casc_ban = in_cascade & (rows > s.num_eog[:, None, None]) & (
+        (cols == ts.eog) | (cols == ts.empty))
+    noeog_ban = (~in_cascade) & (rows >= 1) & (cols == ts.eog)
+    lg = jnp.where(casc_ban | noeog_ban, NEG, lg)
+    if dec.stop_repetition > 0:
+        is_sil_prev = jnp.any(silence[None, :] == s.prev_token[:, None], axis=1)
+        apply_pen = (s.num_eog == 0) & is_sil_prev & (
+            s.consec_silence > dec.stop_repetition)
+        factor = (s.consec_silence - (dec.stop_repetition - 1)).astype(jnp.float32)
+        srow = jnp.arange(S)
+        prev_ix = jnp.clip(s.prev_token, 0, card - 1)
+        prev_logit = lg[srow, 0, prev_ix]
+        pen = jnp.where(prev_logit < 0, prev_logit * factor, prev_logit / factor)
+        lg = lg.at[srow, 0, prev_ix].set(jnp.where(apply_pen, pen, prev_logit))
+
+    lgt = lg / dec.temperature if dec.temperature != 1.0 else lg
+    lgt = top_k_top_p_filter(lgt, top_k=dec.top_k, top_p=dec.top_p)
+    samples = jax.random.categorical(k_samp, lgt, axis=-1).astype(jnp.int32)
+
+    row_ids = jnp.arange(K)[None, :]
+    casc_samples = jnp.where(row_ids < s.num_eog[:, None], ts.empty, samples)
+    casc_samples = jnp.where(row_ids == s.num_eog[:, None], ts.eog, casc_samples)
+    too_long = (s.y_pos + 1) > length_cap
+    span_cap = s.num_gen >= (dec.max_gen_per_span - K)
+    argmax0 = jnp.argmax(lg[:, 0], axis=-1)
+    trigger = (samples[:, 0] == ts.eog) | (argmax0 == ts.eog) | too_long | span_cap
+    plain = samples.at[:, 0].set(jnp.where(trigger, ts.eog, samples[:, 0]))
+    in_c1 = s.num_eog > 0
+    new_samples = jnp.where(in_c1[:, None], casc_samples, plain)
+    num_eog = jnp.where(in_c1, s.num_eog + 1, jnp.where(trigger, 1, 0))
+    s0 = plain[:, 0]
+    is_sil = jnp.any(silence[None, :] == s0[:, None], axis=1) & (s0 == s.prev_token)
+    consec = jnp.where(in_c1, s.consec_silence,
+                       jnp.where(is_sil, s.consec_silence + 1, 0))
+    prev = jnp.where(in_c1, s.prev_token, s0)
+
+    active = ~s.done
+    srow = jnp.arange(S)
+    cur = s.out[srow[:, None], jnp.arange(K)[None, :], s.out_len[:, None]]
+    out = s.out.at[srow[:, None], jnp.arange(K)[None, :],
+                   s.out_len[:, None]].set(
+        jnp.where(active[:, None], new_samples, cur))
+    out_len = jnp.where(active, s.out_len + 1, s.out_len)
+    num_gen = jnp.where(active, s.num_gen + 1, s.num_gen)
+
+    span_done = active & (num_eog == K)
+    span_end = jnp.where(
+        span_done[:, None]
+        & (jnp.arange(num_task)[None, :] == s.span_idx[:, None]),
+        out_len[:, None], s.span_end)
+    span_idx = jnp.where(span_done, s.span_idx + 1, s.span_idx)
+    done = s.done | (span_done & (span_idx >= n_tasks))
+    next_sent = sentinel_ids[jnp.minimum(span_idx, num_task - 1)]
+    next_tokens = jnp.where(span_done[:, None],
+                            jnp.broadcast_to(next_sent[:, None], (S, K)),
+                            new_samples)
+    num_gen = jnp.where(span_done, 0, num_gen)
+    num_eog = jnp.where(span_done, 0, num_eog)
+    num_eog = jnp.where(s.done, s.num_eog, num_eog)
+    prev = jnp.where(span_done, -1, jnp.where(s.done, s.prev_token, prev))
+    consec = jnp.where(span_done, 0,
+                       jnp.where(s.done, s.consec_silence, consec))
+    num_cfg = jnp.where(span_done, 1, jnp.where(s.done, s.num_cfg, num_cfg))
+    next_tokens = jnp.where(s.done[:, None], s.next_tokens, next_tokens)
+
+    return dict(y_pos=s.y_pos + 1, next_tokens=next_tokens, out=out,
+                out_len=out_len, span_idx=span_idx, span_end=span_end,
+                num_gen=num_gen, num_eog=num_eog, prev_token=prev,
+                consec_silence=consec, num_cfg=num_cfg, done=done)
+
+
+def _mix_cfg(logits, s, dec, S, aug_text):
+    """CFG stride mix over [cond; uncond] rows (``models/ssr.py:691-696``).
+    Returns (mixed logits [S, K, card], interim per-chain stride counter)."""
+    if not aug_text:
+        return logits, s.num_cfg
+    cond_l, uncond_l = logits[:S], logits[S:]
+    do_mix = (s.num_cfg == dec.cfg_stride)[:, None, None]
+    lg = jnp.where(do_mix, dec.cfg_coef * cond_l
+                   + (1.0 - dec.cfg_coef) * uncond_l, cond_l)
+    num_cfg = jnp.where(s.num_cfg == dec.cfg_stride, 1, s.num_cfg + 1)
+    return lg, num_cfg
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "tmax", "dtype_name", "cfg_pretrained",
                               "aug_text")
@@ -850,7 +957,6 @@ def _generate_multi_impl(
     ts = cfg.tokens
     card = ts.cardinality
     pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
-    rows = jnp.arange(K)[None, :, None]
     cols = jnp.arange(card)[None, None, :]
     silence = jnp.asarray(dec.silence_tokens, jnp.int32)
     length_cap = x_lens * dec.length_cap_mult  # [S]
@@ -899,90 +1005,12 @@ def _generate_multi_impl(
             n_groups=h.shape[0], dtype=dtype,
         )
         logits = ssr_model.predict_logits(params, out_h)
-        if aug_text:
-            cond_l, uncond_l = logits[:S], logits[S:]
-            do_mix = (s.num_cfg == dec.cfg_stride)[:, None, None]
-            lg = jnp.where(do_mix, dec.cfg_coef * cond_l
-                           + (1.0 - dec.cfg_coef) * uncond_l, cond_l)
-            num_cfg = jnp.where(s.num_cfg == dec.cfg_stride, 1, s.num_cfg + 1)
-        else:
-            lg = logits
-            num_cfg = s.num_cfg
-
-        lg = jnp.where(static_ban, NEG, lg)
-        lg = jnp.where((rows > s.num_gen[:, None, None]) & (cols == ts.empty),
-                       POS, lg)
-        in_cascade = (s.num_eog > 0)[:, None, None]
-        casc_ban = in_cascade & (rows > s.num_eog[:, None, None]) & (
-            (cols == ts.eog) | (cols == ts.empty))
-        noeog_ban = (~in_cascade) & (rows >= 1) & (cols == ts.eog)
-        lg = jnp.where(casc_ban | noeog_ban, NEG, lg)
-        if dec.stop_repetition > 0:
-            is_sil_prev = jnp.any(silence[None, :] == s.prev_token[:, None], axis=1)
-            apply_pen = (s.num_eog == 0) & is_sil_prev & (
-                s.consec_silence > dec.stop_repetition)
-            factor = (s.consec_silence - (dec.stop_repetition - 1)).astype(jnp.float32)
-            srow = jnp.arange(S)
-            prev_ix = jnp.clip(s.prev_token, 0, card - 1)
-            prev_logit = lg[srow, 0, prev_ix]
-            pen = jnp.where(prev_logit < 0, prev_logit * factor, prev_logit / factor)
-            lg = lg.at[srow, 0, prev_ix].set(jnp.where(apply_pen, pen, prev_logit))
-
-        lgt = lg / dec.temperature if dec.temperature != 1.0 else lg
-        lgt = top_k_top_p_filter(lgt, top_k=dec.top_k, top_p=dec.top_p)
-        samples = jax.random.categorical(k_samp, lgt, axis=-1).astype(jnp.int32)
-
-        row_ids = jnp.arange(K)[None, :]
-        casc_samples = jnp.where(row_ids < s.num_eog[:, None], ts.empty, samples)
-        casc_samples = jnp.where(row_ids == s.num_eog[:, None], ts.eog, casc_samples)
-        too_long = (s.y_pos + 1) > length_cap
-        span_cap = s.num_gen >= (dec.max_gen_per_span - K)
-        argmax0 = jnp.argmax(lg[:, 0], axis=-1)
-        trigger = (samples[:, 0] == ts.eog) | (argmax0 == ts.eog) | too_long | span_cap
-        plain = samples.at[:, 0].set(jnp.where(trigger, ts.eog, samples[:, 0]))
-        in_c1 = s.num_eog > 0
-        new_samples = jnp.where(in_c1[:, None], casc_samples, plain)
-        num_eog = jnp.where(in_c1, s.num_eog + 1, jnp.where(trigger, 1, 0))
-        s0 = plain[:, 0]
-        is_sil = jnp.any(silence[None, :] == s0[:, None], axis=1) & (s0 == s.prev_token)
-        consec = jnp.where(in_c1, s.consec_silence,
-                           jnp.where(is_sil, s.consec_silence + 1, 0))
-        prev = jnp.where(in_c1, s.prev_token, s0)
-
-        active = ~s.done
-        srow = jnp.arange(S)
-        cur = s.out[srow[:, None], jnp.arange(K)[None, :], s.out_len[:, None]]
-        out = s.out.at[srow[:, None], jnp.arange(K)[None, :],
-                       s.out_len[:, None]].set(
-            jnp.where(active[:, None], new_samples, cur))
-        out_len = jnp.where(active, s.out_len + 1, s.out_len)
-        num_gen = jnp.where(active, s.num_gen + 1, s.num_gen)
-
-        span_done = active & (num_eog == K)
-        span_end = jnp.where(
-            span_done[:, None]
-            & (jnp.arange(num_task)[None, :] == s.span_idx[:, None]),
-            out_len[:, None], s.span_end)
-        span_idx = jnp.where(span_done, s.span_idx + 1, s.span_idx)
-        done = s.done | (span_done & (span_idx >= n_tasks))
-        next_sent = sentinel_ids[jnp.minimum(span_idx, num_task - 1)]
-        next_tokens = jnp.where(span_done[:, None],
-                                jnp.broadcast_to(next_sent[:, None], (S, K)),
-                                new_samples)
-        num_gen = jnp.where(span_done, 0, num_gen)
-        num_eog = jnp.where(span_done, 0, num_eog)
-        num_eog = jnp.where(s.done, s.num_eog, num_eog)
-        prev = jnp.where(span_done, -1, jnp.where(s.done, s.prev_token, prev))
-        consec = jnp.where(span_done, 0,
-                           jnp.where(s.done, s.consec_silence, consec))
-        num_cfg = jnp.where(span_done, 1, jnp.where(s.done, s.num_cfg, num_cfg))
-        next_tokens = jnp.where(s.done[:, None], s.next_tokens, next_tokens)
-
-        return _S(cache=cache, key=key, y_pos=s.y_pos + 1,
-                  next_tokens=next_tokens, out=out, out_len=out_len,
-                  span_idx=span_idx, span_end=span_end, num_gen=num_gen,
-                  num_eog=num_eog, prev_token=prev, consec_silence=consec,
-                  num_cfg=num_cfg, done=done)
+        lg, num_cfg = _mix_cfg(logits, s, dec, S, aug_text)
+        upd = _advance_chains(
+            s, lg, k_samp, num_cfg, ts=ts, dec=dec, num_task=num_task,
+            length_cap=length_cap, n_tasks=n_tasks,
+            sentinel_ids=sentinel_ids, static_ban=static_ban, silence=silence)
+        return _S(cache=cache, key=key, **upd)
 
     init = _S(
         cache=gen0, key=rng,
@@ -1086,17 +1114,25 @@ def generate_multi(
 
     results = []
     for i, (x, y, prefix, ntask_i, nm) in enumerate(built):
-        gen_spans = []
-        start = 0
-        for t in range(ntask_i):
-            end = max(int(span_end[i, t]), start)
-            span = out[i, :, start:end]
-            start = end
-            if span.shape[1] >= K:
-                gen_spans.append(patterns.revert_delay_pattern(span)[:, :-1])
-            else:
-                gen_spans.append(np.zeros((K, 0), np.int32))
-        codes, marks, out_iv = patterns.splice_generated(y, nm, gen_spans,
-                                                         y.shape[1])
-        results.append((codes, marks, out_iv, nm))
+        results.append(assemble_result(y, nm, out[i], span_end[i], ntask_i, K))
     return results
+
+
+def assemble_result(y, nm, out_row, span_end_row, ntask, K):
+    """Host post-processing for ONE decoded prompt: split the concatenated
+    span stream at ``span_end_row``, revert the delay pattern, strip EOG and
+    splice into the source codes (``ops.patterns``). Shared by
+    :func:`generate_multi` and the continuous-batching server."""
+    gen_spans = []
+    start = 0
+    for t in range(ntask):
+        end = max(int(span_end_row[t]), start)
+        span = out_row[:, start:end]
+        start = end
+        if span.shape[1] >= K:
+            gen_spans.append(patterns.revert_delay_pattern(span)[:, :-1])
+        else:
+            gen_spans.append(np.zeros((K, 0), np.int32))
+    codes, marks, out_iv = patterns.splice_generated(y, nm, gen_spans,
+                                                     y.shape[1])
+    return codes, marks, out_iv, nm

@@ -210,11 +210,18 @@ def inference_multi(
     jobs: Sequence[Dict],
     use_watermark: bool = True,
     seed: int = 1,
+    continuous: bool = False,
+    n_slots: int = 8,
 ) -> List[np.ndarray]:
     """Serve several different utterances in ONE compiled decode loop
     (capability beyond the single-sample reference). Each job:
     {audio_path, target_text, mask_interval, tts?}. All jobs must share the
-    span count. Returns waveforms in job order."""
+    span count. Returns waveforms in job order.
+
+    continuous=True streams the jobs through the slot-recycling
+    continuous-batching server (``inference.serve``) instead of one static
+    batch: finished lanes refill from the queue immediately, so mixed-length
+    workloads larger than ``n_slots`` keep the chip saturated."""
     prompts = []
     metas = []
     for job in jobs:
@@ -222,9 +229,16 @@ def inference_multi(
         codes, _, wav = _encode(audio_tokenizer, job["audio_path"])
         prompts.append((x, codes[0], list(job["mask_interval"])))
         metas.append((wav, bool(job.get("tts", False))))
-    results = decode_mod.generate_multi(
-        lm_params, cfg, dec, prompts, jax.random.PRNGKey(seed)
-    )
+    if continuous:
+        from . import serve as serve_mod
+
+        results = serve_mod.serve_requests(
+            lm_params, cfg, dec, prompts, jax.random.PRNGKey(seed),
+            n_slots=n_slots)
+    else:
+        results = decode_mod.generate_multi(
+            lm_params, cfg, dec, prompts, jax.random.PRNGKey(seed)
+        )
     hop = audio_tokenizer.cfg.hop_length
     outs = []
     for (wav, tts), (out_codes, marks, out_iv, nm) in zip(metas, results):

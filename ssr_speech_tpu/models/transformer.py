@@ -365,6 +365,107 @@ def transformer_decode_step_shared(
     return out[:, 0, :], KVCache(new_k, new_v, gpos + 1)
 
 
+def transformer_decode_step_paged(
+    params: Params,
+    h_t: jnp.ndarray,  # [B, D], one row per chain (cond rows then uncond)
+    pfx: KVCache,  # prefix cache [L, B, H, Tp, Dh], one row per chain
+    gen: KVCache,  # generated cache [L, B, H, Tg, Dh]; ``length`` unused
+    key_banned: jnp.ndarray,  # [B, Tp] bool dead-key mask in the prefix
+    gen_len: jnp.ndarray,  # [B] int32 per-ROW write column in ``gen``
+    cfg: SSRModelConfig,
+    *,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Decode step with PER-ROW generated-cache write positions.
+
+    The continuous-batching server (``inference.serve``) recycles cache rows:
+    when a chain finishes, its slot is refilled with a new request whose
+    generation restarts at column 0 of the SAME row while other chains are
+    mid-flight at different columns. The shared-column layout
+    (:func:`transformer_decode_step_shared`) cannot express that — its single
+    ``gen.length`` scalar both writes and masks every row at the same column.
+    Here each row writes its K/V at ``gen_len[row]`` (a scatter over rows)
+    and attends gen columns ``<= gen_len[row]`` only, so a refilled row never
+    sees the previous occupant's K/V. Positions are encoded additively at
+    embed time (sine PE on ``y_pos``), so a chain's cache COLUMN index
+    carries no positional meaning and rows may be reused freely.
+
+    The caller does not advance ``gen_len`` for frozen (finished/parked)
+    rows; they re-overwrite one dead column, which no live row ever reads.
+
+    The current token's K/V is NOT written before attending — its score is
+    appended as one extra softmax column (exactly equivalent) and ALL layers'
+    K/V land in a single batched scatter at the end (removes the per-layer
+    read-after-write dependency; the paged step then measures within 5% of
+    the shared-column step at equal read size, tools/paged_step_probe.py).
+
+    The full gen buffer is streamed every step (unlike the telescoping
+    single/multi paths whose buffers are PHYSICALLY stage-sized): slicing a
+    static read window out of the big buffer was measured SLOWER — XLA
+    materializes the strided slice as a copy instead of shrinking the
+    einsum read (tools/serve_probe.py round 2: 13.8 s -> 20.7 s for the same
+    workload) — and row recycling caps the buffer at one request's length,
+    so the full read costs only ~0.3 ms/step over the shared-column step at
+    equal size (tools/paged_step_probe.py: 6.63 vs 6.29 ms on the 830M).
+    """
+    nhead = cfg.nhead
+    act = _ffn_act(cfg, deterministic=True)
+    b, d = h_t.shape
+    tp = pfx.max_len
+    tg = gen.max_len
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    h = h_t.astype(dtype)[:, None, :]
+
+    pfx_bias = jnp.where(key_banned, -1e9, 0.0).astype(jnp.float32)  # [B, Tp]
+    # strict: the current token is handled as an appended score column
+    gen_bias = jnp.where(jnp.arange(tg)[None, :] < gen_len[:, None],
+                         0.0, -1e9).astype(jnp.float32)  # [B, Tg]
+
+    def attend_layer(q, k_cur, v_cur, k_gen, v_gen, pfx_k, pfx_v):
+        qs = (q * scale).astype(dtype)  # [B, H, Dh]
+        sp = jnp.einsum("bhd,bhtd->bht", qs, pfx_k.astype(dtype),
+                        preferred_element_type=jnp.float32
+                        ) + pfx_bias[:, None, :]
+        sg = jnp.einsum("bhd,bhtd->bht", qs, k_gen.astype(dtype),
+                        preferred_element_type=jnp.float32
+                        ) + gen_bias[:, None, :]
+        sc = jnp.einsum("bhd,bhd->bh", qs, k_cur.astype(dtype),
+                        preferred_element_type=jnp.float32)[..., None]
+        p_all = jax.nn.softmax(
+            jnp.concatenate([sp, sg, sc], axis=-1), axis=-1).astype(dtype)
+        out = jnp.einsum("bht,bhtd->bhd", p_all[..., :tp], pfx_v.astype(dtype))
+        out += jnp.einsum("bht,bhtd->bhd", p_all[..., tp:-1],
+                          v_gen.astype(dtype))
+        out += p_all[..., -1:] * v_cur.astype(dtype)
+        return out
+
+    ks, vs = [], []
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[l], params["layers"])
+        hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"])
+        qkv = hn @ lp["qkv_w"].astype(dtype) + lp["qkv_b"].astype(dtype)
+        q, k, v = (_split_heads(t, nhead) for t in jnp.split(qkv, 3, axis=-1))
+        k_cur, v_cur = k[:, :, 0, :], v[:, :, 0, :]
+        ks.append(k_cur)
+        vs.append(v_cur)
+        attn_h = attend_layer(q[:, :, 0, :], k_cur, v_cur,
+                              gen.k[l], gen.v[l], pfx.k[l], pfx.v[l])
+        attn = attn_h.reshape(b, 1, d)
+        attn = attn @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
+        h = h + attn
+        hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
+        ff = act(hn @ lp["ffn1_w"].astype(dtype) + lp["ffn1_b"].astype(dtype))
+        h = h + ff @ lp["ffn2_w"].astype(dtype) + lp["ffn2_b"].astype(dtype)
+    # one batched scatter for all layers: rows write column gen_len[row]
+    rows = jnp.arange(b)
+    new_k = gen.k.at[:, rows, :, gen_len].set(
+        jnp.stack(ks).astype(gen.k.dtype).transpose(1, 0, 2, 3))
+    new_v = gen.v.at[:, rows, :, gen_len].set(
+        jnp.stack(vs).astype(gen.v.dtype).transpose(1, 0, 2, 3))
+    out = layer_norm(h, params["final_ln_w"], params["final_ln_b"])
+    return out[:, 0, :], KVCache(new_k, new_v, gen.length)
+
+
 def transformer_decode_step(
     params: Params,
     h_t: jnp.ndarray,
