@@ -30,6 +30,7 @@ multiple guarantees ``extra_padding_for_conv1d == 0`` at every stage).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Tuple
 
@@ -339,11 +340,27 @@ def wm_decode_step(
 
 # ------------------------------------------------------------- codec facade
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_chunk_jit(p, s, x, *, cfg: SEANetConfig):
+    return encode_step(p, s, x, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _decode_chunk_jit(p, s, z, *, cfg: SEANetConfig):
+    return decode_step(p, s, z, cfg)
+
+
 class StreamingCodec:
     """Stateful convenience wrapper: feed waveform chunks, get codes; feed
     codes, get waveform — the chunked equivalent of ``wmencodec.encode`` /
     ``decode`` for live use (reference streaming entry points
-    ``modules/streaming.py:20-131``)."""
+    ``modules/streaming.py:20-131``).
+
+    The jitted chunk programs are MODULE-level with the config static, so a
+    fresh ``StreamingCodec`` (one per live stream) reuses the compiled code —
+    per-instance ``jax.jit(lambda ...)`` wrappers recompiled on every stream
+    and put seconds of XLA compile on the first-audio path
+    (tools/stream_probe.py)."""
 
     def __init__(self, params: Params, cfg: CodecConfig, batch: int = 1,
                  dtype=jnp.float32):
@@ -351,22 +368,20 @@ class StreamingCodec:
         self.cfg = cfg
         self.enc_state = init_encoder_state(cfg.seanet, batch, dtype)
         self.dec_state = init_decoder_state(cfg.seanet, batch, dtype)
-        self._enc = jax.jit(
-            lambda p, s, x: encode_step(p, s, x, cfg.seanet))
-        self._dec = jax.jit(
-            lambda p, s, z: decode_step(p, s, z, cfg.seanet))
 
     def encode_chunk(self, wav_chunk) -> jnp.ndarray:
         """wav [B, C, channels], C a hop multiple -> codes [B, K, C/hop]."""
         assert wav_chunk.shape[1] % self.cfg.hop_length == 0, \
             (wav_chunk.shape, self.cfg.hop_length)
-        emb, self.enc_state = self._enc(self.params["encoder"],
-                                        self.enc_state, wav_chunk)
+        emb, self.enc_state = _encode_chunk_jit(
+            self.params["encoder"], self.enc_state, wav_chunk,
+            cfg=self.cfg.seanet)
         return q.rvq_encode(self.params["quantizer"], emb)
 
     def decode_chunk(self, codes) -> jnp.ndarray:
         """codes [B, K, F] -> waveform [B, F*hop, channels]."""
         latents = q.rvq_decode(self.params["quantizer"], codes)
-        out, self.dec_state = self._dec(self.params["decoder"],
-                                        self.dec_state, latents)
+        out, self.dec_state = _decode_chunk_jit(
+            self.params["decoder"], self.dec_state, latents,
+            cfg=self.cfg.seanet)
         return out

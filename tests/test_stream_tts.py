@@ -1,0 +1,88 @@
+"""Streaming TTS: incrementally yielded codes/waveform must equal the
+offline generate -> causal decode -> crop pipeline exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssr_speech_tpu.config import (
+    CodecConfig, DecodeConfig, RVQConfig, SEANetConfig, tiny_ssr_config,
+)
+from ssr_speech_tpu.inference import decode, stream
+from ssr_speech_tpu.models import ssr as ssr_model
+from ssr_speech_tpu.models.codec import quantize as q
+from ssr_speech_tpu.models.codec import seanet
+from ssr_speech_tpu.models.codec import wmencodec as wm
+
+CFG = tiny_ssr_config()
+CODEC = CodecConfig(
+    seanet=SEANetConfig(dimension=16, n_filters=2, n_residual_layers=1,
+                        ratios=(4, 2), lstm=1, norm="weight_norm",
+                        causal=True, pad_mode="constant"),
+    rvq=RVQConfig(dimension=16, n_q=CFG.n_codebooks,
+                  bins=CFG.tokens.audio_vocab_size),
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    lm = ssr_model.init_ssr(jax.random.PRNGKey(0), CFG)
+    codec = wm.init_wmencodec(jax.random.PRNGKey(1), CODEC)
+    return lm, codec
+
+
+@pytest.mark.parametrize("chunk_frames", [5, 16])
+def test_stream_tts_matches_offline(models, chunk_frames):
+    lm, codec = models
+    rng = np.random.default_rng(3)
+    ts = CFG.tokens
+    T, sx = 24, 40
+    y = rng.integers(0, ts.audio_vocab_size, size=(CFG.n_codebooks, T))
+    x = rng.integers(0, CFG.text_vocab_size - 1, size=(sx,))
+    dec_cfg = DecodeConfig(top_k=1, top_p=1.0, stop_repetition=-1,
+                           cfg_coef=1.5, cfg_stride=2, aug_text=True,
+                           cfg_pretrained=True, max_gen_per_span=80,
+                           length_cap_mult=10)
+
+    streamer = stream.TTSStreamer(lm, CFG, dec_cfg, codec, CODEC,
+                                  chunk_frames=chunk_frames, sx_pad=64,
+                                  p_pad=64, dtype_name="float32")
+    chunks = list(streamer.stream(x, y, jax.random.PRNGKey(0)))
+    assert chunks, "stream yielded nothing"
+    got_codes = np.concatenate([c for c, _ in chunks], axis=1)
+    got_wav = np.concatenate([w for _, w in chunks], axis=0)
+    # first chunk is the small early-audio chunk, the rest fixed-size
+    assert chunks[0][0].shape[1] == max(chunk_frames // 2, 1)
+    for c, w in chunks[1:-1]:
+        assert c.shape[1] == chunk_frames
+        assert w.shape[0] == chunk_frames * CODEC.hop_length
+
+    # offline: generate -> full causal decode -> crop at the prompt boundary
+    codes, marks, out_iv, nm = decode.generate(
+        lm, CFG, dec_cfg, x, y, [(T, T)], jax.random.PRNGKey(0),
+        dtype_name="float32")
+    # out_iv are the ORIGINAL (non-mask) segments in the output; the
+    # generated TTS region runs from the end of the prompt segment to the
+    # start of the (empty) tail segment
+    s = out_iv[0][1]
+    e = out_iv[1][0] if len(out_iv) > 1 else codes.shape[2]
+    np.testing.assert_array_equal(got_codes, codes[0][:, s:e])
+    full = np.asarray(seanet.decode(
+        codec["decoder"],
+        q.rvq_decode(codec["quantizer"], jnp.asarray(codes[:1])),
+        CODEC.seanet))
+    offline_crop = full[0, s * CODEC.hop_length:e * CODEC.hop_length]
+    assert got_wav.shape == offline_crop.shape
+    np.testing.assert_allclose(got_wav, offline_crop, atol=2e-5, rtol=1e-4)
+
+
+def test_stream_tts_rejects_non_causal(models):
+    lm, codec = models
+    bad = CodecConfig(
+        seanet=SEANetConfig(dimension=16, n_filters=2, n_residual_layers=1,
+                            ratios=(4, 2), lstm=1, causal=False),
+        rvq=RVQConfig(dimension=16, n_q=CFG.n_codebooks,
+                      bins=CFG.tokens.audio_vocab_size))
+    with pytest.raises(ValueError, match="causal"):
+        stream.TTSStreamer(lm, CFG, DecodeConfig(), codec, bad)
