@@ -32,8 +32,14 @@ class AudioSegmentDataset:
         segment_duration: float = 2.0,
         seed: int = 0,
         min_audio_duration: float = 0.1,
+        loader_threads: int = 0,
     ):
+        """loader_threads > 0 routes batch loading through the C++ threaded
+        WAV loader (``native.load_wav_batch``: parallel parse + mono-mix +
+        crop; rows needing resample or exotic encodings fall back to the
+        python path per-row)."""
         self.cfg = cfg
+        self.loader_threads = loader_threads
         self.segment_samples = int(segment_duration * cfg.sample_rate)
         # round to a hop multiple so codec frames line up
         hop = cfg.hop_length
@@ -75,5 +81,26 @@ class AudioSegmentDataset:
     def batches(self, batch_size: int, num_batches: int) -> Iterator[np.ndarray]:
         """Yields [B, T, 1] float32 batches."""
         for _ in range(num_batches):
+            if self.loader_threads:
+                batch = self._native_batch(batch_size)
+                if batch is not None:
+                    yield batch
+                    continue
             seg = np.stack([self.sample_segment() for _ in range(batch_size)])
             yield seg[..., None]
+
+    def _native_batch(self, batch_size: int) -> Optional[np.ndarray]:
+        from ..native import load_wav_batch
+
+        idxs = self.rng.integers(0, len(self.metas), size=batch_size)
+        fracs = self.rng.random(batch_size)
+        paths = [self.metas[int(i)]["path"] for i in idxs]
+        res = load_wav_batch(paths, self.cfg.sample_rate,
+                             self.segment_samples, fracs,
+                             n_threads=self.loader_threads)
+        if res is None:  # no native lib: caller uses the python path
+            return None
+        out, errs = res
+        for j in np.nonzero(errs)[0]:  # per-row fallback (resample etc.)
+            out[j] = self.sample_segment(int(idxs[j]))
+        return out[..., None]

@@ -33,8 +33,8 @@ def _build() -> Optional[str]:
         return _LIB_PATH
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-             "-o", _LIB_PATH],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             _SRC, "-o", _LIB_PATH],
             check=True, capture_output=True, timeout=120,
         )
         return _LIB_PATH
@@ -72,6 +72,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int32,
+        ]
+        lib.load_wav_batch.restype = None
+        lib.load_wav_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
         ]
         _lib = lib
         return _lib
@@ -156,3 +163,30 @@ def pad_collate(rows: List[np.ndarray], width: int, pad_value: int) -> np.ndarra
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), width, pad_value,
     )
     return out
+
+
+def load_wav_batch(paths: List[str], target_sr: int, seg: int,
+                   fracs: np.ndarray, n_threads: int = 8
+                   ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Threaded batch WAV loader: parse + mono-mix + segment-crop ``paths``
+    into float32 [n, seg] in parallel (C++ thread pool over files — the
+    reference does this per item in torch DataLoader workers,
+    audiocraft audio_dataset.py). ``fracs[i]`` in [0, 1) picks row i's crop
+    start. Returns (out, errs); errs[i] != 0 means row i needs the python
+    path (1 io/parse, 2 resample required, 3 unsupported encoding).
+    None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, seg), np.float32)
+    errs = np.empty((n,), np.int32)
+    fracs = np.ascontiguousarray(fracs, np.float64)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.load_wav_batch(
+        c_paths, n, target_sr, seg,
+        fracs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        errs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads,
+    )
+    return out, errs

@@ -155,3 +155,164 @@ void pad_collate_i32(const int32_t** srcs, const int32_t* lens, int n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded WAV segment loader for the codec-GAN training data path.
+//
+// The reference loads audio per item inside torch DataLoader workers
+// (audiocraft/audiocraft/data/audio_dataset.py segment sampling +
+// audio.py decode); our AudioSegmentDataset did the same work in a python
+// loop over the batch. One call here reads, mono-mixes and segment-crops a
+// whole batch in parallel (std::thread over files). Resampling is NOT done
+// natively — a file whose rate differs from target_sr gets err=2 and the
+// caller falls back to the python path (scipy polyphase) for that row.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+#include <atomic>
+
+namespace {
+
+// Parse one WAV file, mono-mix to float32 at native rate.
+// Returns 0 ok; 1 io/parse error; 3 unsupported encoding.
+// On success fills mono (resized) and *rate.
+int read_wav_mono(const char* path, std::vector<float>* mono, int* rate) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<unsigned char> buf(size > 0 ? size : 0);
+  if (size < 12 || fread(buf.data(), 1, size, f) != (size_t)size) {
+    fclose(f);
+    return 1;
+  }
+  fclose(f);
+  if (memcmp(buf.data(), "RIFF", 4) || memcmp(buf.data() + 8, "WAVE", 4))
+    return 1;
+  long pos = 12;
+  int audio_format = -1, channels = 0, bits = 0;
+  const unsigned char* data = nullptr;
+  long data_len = 0;
+  while (pos + 8 <= size) {
+    const unsigned char* cid = buf.data() + pos;
+    uint32_t csize;
+    memcpy(&csize, buf.data() + pos + 4, 4);
+    const unsigned char* body = buf.data() + pos + 8;
+    long avail = size - pos - 8;
+    long clen = (long)csize < avail ? (long)csize : avail;
+    if (!memcmp(cid, "fmt ", 4) && clen >= 16) {
+      uint16_t fmt16, ch16, bits16;
+      uint32_t rate32;
+      memcpy(&fmt16, body, 2);
+      memcpy(&ch16, body + 2, 2);
+      memcpy(&rate32, body + 4, 4);
+      memcpy(&bits16, body + 14, 2);
+      audio_format = fmt16;
+      channels = ch16;
+      *rate = (int)rate32;
+      bits = bits16;
+    } else if (!memcmp(cid, "data", 4)) {
+      data = body;
+      data_len = clen;
+    }
+    pos += 8 + csize + (csize & 1);
+  }
+  if (audio_format < 0 || !data || channels <= 0) return 1;
+  bool is_float = audio_format == 3 || (audio_format == 0xFFFE && bits == 32);
+  long bytes_per = bits / 8;
+  if (bytes_per <= 0) return 3;
+  long n_frames = data_len / (bytes_per * channels);
+  mono->assign(n_frames, 0.0f);
+  float inv_ch = 1.0f / channels;
+  if (is_float && bits == 32) {
+    for (long t = 0; t < n_frames; t++) {
+      float acc = 0.0f;
+      for (int c = 0; c < channels; c++) {
+        float v;
+        memcpy(&v, data + (t * channels + c) * 4, 4);
+        acc += v;
+      }
+      (*mono)[t] = acc * inv_ch;
+    }
+  } else if (bits == 16) {
+    const int16_t* s = (const int16_t*)data;
+    for (long t = 0; t < n_frames; t++) {
+      float acc = 0.0f;
+      for (int c = 0; c < channels; c++) acc += s[t * channels + c];
+      (*mono)[t] = acc * inv_ch / 32768.0f;
+    }
+  } else if (bits == 24) {
+    for (long t = 0; t < n_frames; t++) {
+      float acc = 0.0f;
+      for (int c = 0; c < channels; c++) {
+        const unsigned char* b = data + (t * channels + c) * 3;
+        int32_t v = b[0] | (b[1] << 8) | (b[2] << 16);
+        if (v >= (1 << 23)) v -= (1 << 24);
+        acc += (float)v / (float)(1 << 23);
+      }
+      (*mono)[t] = acc * inv_ch;
+    }
+  } else if (bits == 32 && !is_float) {
+    const int32_t* s = (const int32_t*)data;
+    for (long t = 0; t < n_frames; t++) {
+      float acc = 0.0f;
+      for (int c = 0; c < channels; c++)
+        acc += (float)s[t * channels + c] / 2147483648.0f;
+      (*mono)[t] = acc * inv_ch;
+    }
+  } else {
+    return 3;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load n WAV files into out[n, seg] float32 mono segments in parallel.
+// fracs[i] in [0, 1) picks the crop start: start = frac * (len - seg + 1)
+// (caller's RNG stays in python). Files shorter than seg are zero-padded.
+// errs[i]: 0 ok; 1 io/parse; 2 needs resample (rate != target_sr);
+// 3 unsupported encoding — caller python-fallbacks those rows.
+void load_wav_batch(const char** paths, int n, int target_sr, long seg,
+                    const double* fracs, float* out, int32_t* errs,
+                    int n_threads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    std::vector<float> mono;
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      float* row = out + (long)i * seg;
+      int rate = 0;
+      int err = read_wav_mono(paths[i], &mono, &rate);
+      if (!err && rate != target_sr) err = 2;
+      if (err) {
+        errs[i] = err;
+        memset(row, 0, seg * sizeof(float));
+        continue;
+      }
+      long t = (long)mono.size();
+      if (t <= seg) {
+        memcpy(row, mono.data(), t * sizeof(float));
+        memset(row + t, 0, (seg - t) * sizeof(float));
+      } else {
+        long start = (long)(fracs[i] * (double)(t - seg + 1));
+        if (start < 0) start = 0;
+        if (start > t - seg) start = t - seg;
+        memcpy(row, mono.data() + start, seg * sizeof(float));
+      }
+      errs[i] = 0;
+    }
+  };
+  int nt = n_threads > 0 ? n_threads : 1;
+  if (nt > n) nt = n;
+  std::vector<std::thread> threads;
+  for (int k = 1; k < nt; k++) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

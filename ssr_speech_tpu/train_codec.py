@@ -60,6 +60,9 @@ def main(argv=None):
     p.add_argument("--config_json", default=None,
                    help="codec geometry as a CodecConfig JSON file "
                         "(default: shipped encodec_large_nq4_s320)")
+    p.add_argument("--loader_threads", type=int, default=8,
+                   help="C++ threaded WAV batch loader threads (0 = python "
+                        "loop); batches are also prefetched one step ahead")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard each batch over all devices (SPMD; XLA "
                         "inserts the gradient collectives — the flashy/NCCL "
@@ -120,7 +123,8 @@ def main(argv=None):
             return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
     ds = AudioSegmentDataset(args.manifest, cfg, args.segment_duration,
-                             seed=args.seed)
+                             seed=args.seed,
+                             loader_threads=args.loader_threads)
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.exp_dir, exist_ok=True)
     hop = cfg.hop_length
@@ -156,8 +160,11 @@ def main(argv=None):
 
     step = 0
     epoch = 0
+    from .data.prefetch import PrefetchIterator
+
     for epoch in range(args.epochs):
-        for wav in ds.batches(args.batch_size, args.updates):
+        for wav in PrefetchIterator(
+                ds.batches(args.batch_size, args.updates), depth=2):
             labels, keep = wm.sample_watermark_mask(rng, wav.shape[0], frames, hop)
             state, metrics = step_fn(state, shard_batch(jnp.asarray(wav)),
                                      shard_batch(jnp.asarray(labels)),

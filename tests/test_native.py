@@ -67,3 +67,65 @@ def test_pad_collate():
     np.testing.assert_array_equal(out[0], [0, 1, 2, -7, -7])
     np.testing.assert_array_equal(out[1], [0, 1, 2, 3, 4])
     np.testing.assert_array_equal(out[2], [0, -7, -7, -7, -7])
+
+
+def test_load_wav_batch_matches_python(tmp_path):
+    """Threaded C++ WAV loader: mono-mix + crop equals the python path for
+    16-bit stereo and float32 mono; short files zero-pad."""
+    import json
+
+    from ssr_speech_tpu.utils import audio as audio_io
+
+    sr, seg = 16000, 4000
+    rng = np.random.default_rng(0)
+    stereo = (rng.normal(size=(2, 9000)) * 0.1).astype(np.float32)
+    mono = (rng.normal(size=(1, 2500)) * 0.1).astype(np.float32)  # short
+    p1, p2 = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    audio_io.write_wav(p1, stereo, sr)  # [C, T] 16-bit PCM stereo
+    audio_io.write_wav(p2, mono[0], sr)
+    got, errs = native.load_wav_batch([p1, p2], sr, seg,
+                                      np.asarray([0.25, 0.0]), n_threads=2)
+    assert list(errs) == [0, 0]
+    w1, _ = audio_io.read_wav(p1)
+    w1m = w1.mean(axis=0)
+    start = int(0.25 * (w1m.shape[0] - seg + 1))
+    np.testing.assert_allclose(got[0], w1m[start:start + seg], atol=1e-6)
+    w2, _ = audio_io.read_wav(p2)
+    want2 = np.zeros(seg, np.float32)
+    want2[: w2.shape[1]] = w2[0]
+    np.testing.assert_allclose(got[1], want2, atol=1e-6)
+
+
+def test_audio_dataset_native_loader(tmp_path):
+    """AudioSegmentDataset(loader_threads>0): native batches come back the
+    right shape; a file at the wrong sample rate falls back per-row."""
+    import json
+
+    from ssr_speech_tpu.config import CodecConfig
+    from ssr_speech_tpu.data.audio_dataset import AudioSegmentDataset
+    from ssr_speech_tpu.utils import audio as audio_io
+
+    cfg = CodecConfig()
+    rng = np.random.default_rng(1)
+    entries = []
+    ok = str(tmp_path / "ok.wav")
+    audio_io.write_wav(ok, (rng.normal(size=48000) * 0.1).astype(np.float32),
+                       cfg.sample_rate)
+    entries.append(dict(path=ok, duration=3.0, sample_rate=cfg.sample_rate))
+    other = str(tmp_path / "other.wav")
+    audio_io.write_wav(other,
+                       (rng.normal(size=44100) * 0.1).astype(np.float32),
+                       44100)  # needs resample -> python fallback row
+    entries.append(dict(path=other, duration=1.0, sample_rate=44100))
+    manifest = str(tmp_path / "data.jsonl")
+    with open(manifest, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    ds = AudioSegmentDataset(manifest, cfg, segment_duration=1.0, seed=0,
+                             loader_threads=2)
+    batches = list(ds.batches(4, 2))
+    assert len(batches) == 2
+    for b in batches:
+        assert b.shape == (4, ds.segment_samples, 1)
+        assert b.dtype == np.float32
+        assert np.isfinite(b).all() and np.abs(b).max() > 0
