@@ -164,6 +164,8 @@ class DataConfig:
     # reference steps/trainer_utils.py:175, with fixed pad-length buckets)
     num_buckets: int = 6
     max_num_tokens: int = 20000  # token budget per device per step
+    bucket_warp: str = "quantile"  # or "lognormal": the reference's fixed
+    # lognorm(1) bucket edges (trainer_utils.py:408-437)
 
 
 @dataclass(frozen=True)

@@ -33,6 +33,29 @@ def bucket_boundaries(lengths: np.ndarray, num_buckets: int) -> List[int]:
     return out
 
 
+def lognormal_boundaries(max_len: int, num_buckets: int) -> List[int]:
+    """The reference's lognormal-warped boundaries
+    (``_get_boundaries_through_warping``, trainer_utils.py:408-437): bucket
+    edges are lognorm(1).ppf of a latent linspace, scaled so the last edge
+    hits ``max_len``. Data-independent (a fixed prior over durations) —
+    the quantile scheme adapts to the actual corpus and is the default;
+    this exists for behavior parity (``DataConfig.bucket_warp``)."""
+    lat = np.linspace(1 / (num_buckets + 1), num_buckets / (num_buckets + 1),
+                      num_buckets)
+    try:
+        from scipy.stats import lognorm
+
+        qs = lognorm.ppf(lat, 1)
+    except ImportError:  # ppf of lognorm(s=1) is exp(probit(p))
+        from statistics import NormalDist
+
+        qs = np.asarray([np.exp(NormalDist().inv_cdf(p)) for p in lat])
+    edges = qs * max_len / qs[-1]
+    out = sorted(set(int(np.ceil(e)) for e in edges))
+    out[-1] = int(max_len)
+    return out
+
+
 class BucketBatcher:
     """Groups dataset items into fixed-shape, token-budgeted batches."""
 
@@ -59,7 +82,11 @@ class BucketBatcher:
         # finite uniform distribution)
         self.rows_multiple = max(world_size, 1)
         lengths = dataset.lengths()
-        self.bounds = bucket_boundaries(lengths, data_cfg.num_buckets)
+        if getattr(data_cfg, "bucket_warp", "quantile") == "lognormal":
+            self.bounds = lognormal_boundaries(int(lengths.max()),
+                                               data_cfg.num_buckets)
+        else:
+            self.bounds = bucket_boundaries(lengths, data_cfg.num_buckets)
         self.assignment = np.searchsorted(self.bounds, lengths)
         # static pad length per bucket: raw bound + worst-case sequence
         # overhead from sentinels/sos/eos/eog and the delay pattern

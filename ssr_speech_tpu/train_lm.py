@@ -49,6 +49,10 @@ def build_parser():
     # data
     p.add_argument("--max_num_tokens", type=int, default=20000)
     p.add_argument("--num_buckets", type=int, default=6)
+    p.add_argument("--bucket_warp", default="quantile",
+                   choices=["quantile", "lognormal"],
+                   help="bucket edges: data quantiles (default) or the "
+                        "reference's lognorm(1) warping")
     p.add_argument("--audio_min_length", type=float, default=2.0)
     p.add_argument("--audio_max_length", type=float, default=20.0)
     p.add_argument("--text_min_length", type=int, default=10)
@@ -158,6 +162,7 @@ def main(argv=None):
             text_min_length=args.text_min_length,
             text_max_length=args.text_max_length,
             drop_long=bool(args.drop_long), num_buckets=args.num_buckets,
+            bucket_warp=args.bucket_warp,
             max_num_tokens=args.max_num_tokens,
         ),
     )

@@ -281,6 +281,35 @@ def test_batcher_resume_skips_consumed_batches(tmp_path):
     np.testing.assert_array_equal(resumed[0]["x"], full[2]["x"])
 
 
+def test_lognormal_bucket_warping(tmp_path):
+    """bucket_warp='lognormal' reproduces the reference's fixed lognorm(1)
+    bucket edges (trainer_utils.py:408-437) and still yields valid
+    token-budget batches."""
+    from ssr_speech_tpu.data.batching import lognormal_boundaries
+
+    edges = lognormal_boundaries(1000, 6)
+    assert edges == sorted(edges) and edges[-1] == 1000
+    # edges are exp(probit(latent linspace)) scaled to max
+    from statistics import NormalDist
+
+    lat = np.linspace(1 / 7, 6 / 7, 6)
+    want = np.exp([NormalDist().inv_cdf(p) for p in lat])
+    want = want * 1000 / want[-1]
+    np.testing.assert_allclose(edges, np.ceil(want), atol=1)
+
+    root = make_synth_corpus(tmp_path)
+    dcfg = DataConfig(dataset_dir=root, encodec_folder_name="codes",
+                      audio_min_length=2.0, audio_max_length=10.0,
+                      text_min_length=5, num_buckets=3, max_num_tokens=2000,
+                      bucket_warp="lognormal")
+    ds = SpeechDataset(CFG, dcfg, MaskingConfig(), "train")
+    batches = list(BucketBatcher(ds, CFG, dcfg, seed=5)(0))
+    assert batches
+    for b in batches:
+        assert b["y"].shape[0] * b["y"].shape[1] <= 2000 * 2  # budget-ish
+        assert b["x"].ndim == 2 and b["y"].ndim == 3
+
+
 def test_unrolled_layer_loop_matches_scan():
     """transformer_forward(unroll=True) — the 1.58x TPU training path — must
     match the lax.scan path exactly (same body, same dropout key chain),
