@@ -280,6 +280,10 @@ class ContinuousBatcher:
         )
         # host-side per-slot request records for harvest
         self._slot_req: List[Optional[dict]] = [None] * n_slots
+        # stream for cfg_pretrained=False random-uncond rows (fresh draw per
+        # prefill, like the reference samples per run)
+        self._uncond_key = jax.random.PRNGKey(7)
+        self._n_prefills = 0
 
     # ------------------------------------------------------------- internals
 
@@ -306,9 +310,10 @@ class ContinuousBatcher:
                 uncond = np.full((1, self.sx_pad), cfg.text_pad_token, np.int32)
                 uncond[0, : len(x)] = cfg.text_vocab_size - 1
             else:
+                self._n_prefills += 1
                 uncond = np.asarray(jax.random.randint(
-                    jax.random.PRNGKey(len(x)), (1, self.sx_pad), 0,
-                    cfg.n_text_tokens)).astype(np.int32)
+                    jax.random.fold_in(self._uncond_key, self._n_prefills),
+                    (1, self.sx_pad), 0, cfg.n_text_tokens)).astype(np.int32)
             xb = np.concatenate([x_row, uncond], axis=0)
             x_lens_r = np.asarray([len(x), len(x)], np.int32)
         else:

@@ -97,6 +97,29 @@ def test_online_serving_matches_single(params):
         assert oi_s == oi_1 and nm_s == nm_1
 
 
+def test_served_tp_sharded_matches_unsharded(params):
+    """Continuous batching over TENSOR-PARALLEL-sharded params (megatron
+    specs on an 8-device mesh): served greedy results stay bit-exact —
+    the serve chunk, prefill and refill splice are all GSPMD-partitionable."""
+    from ssr_speech_tpu.parallel import mesh as meshlib
+
+    dec = _greedy_dec(True)
+    reqs = _requests(4)
+    base = serve.serve_requests(params, CFG, dec, reqs,
+                                jax.random.PRNGKey(0), n_slots=2,
+                                dtype_name="float32")
+    mesh = meshlib.make_mesh(8, tp=2)
+    params_sh = meshlib.shard_params_for_serving(mesh, params)
+    sharded = serve.serve_requests(params_sh, CFG, dec, reqs,
+                                   jax.random.PRNGKey(0), n_slots=2,
+                                   dtype_name="float32")
+    for (codes_b, marks_b, oi_b, nm_b), (codes_s, marks_s, oi_s, nm_s) in zip(
+            base, sharded):
+        np.testing.assert_array_equal(codes_s, codes_b)
+        np.testing.assert_array_equal(marks_s, marks_b)
+        assert oi_s == oi_b and nm_s == nm_b
+
+
 def test_geometry_rejected(params):
     dec = _greedy_dec(False)
     server = serve.ContinuousBatcher(params, CFG, dec, 2, sx_pad=8,
