@@ -235,6 +235,18 @@ def inference_multi(
         results = serve_mod.serve_requests(
             lm_params, cfg, dec, prompts, jax.random.PRNGKey(seed),
             n_slots=n_slots)
+    elif len(prompts) > n_slots:
+        # offline throughput: shortest-job static batches (each batch's
+        # straggler ~ its mean; serve.sorted_static_batches)
+        from . import serve as serve_mod
+
+        results = [None] * len(prompts)
+        for batch in serve_mod.sorted_static_batches(prompts, n_slots):
+            outs = decode_mod.generate_multi(
+                lm_params, cfg, dec, [prompts[i] for i in batch],
+                jax.random.PRNGKey(seed))
+            for i, r in zip(batch, outs):
+                results[i] = r
     else:
         results = decode_mod.generate_multi(
             lm_params, cfg, dec, prompts, jax.random.PRNGKey(seed)

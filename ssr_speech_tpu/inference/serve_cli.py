@@ -1,0 +1,127 @@
+"""Batch/serving CLI: many editing/TTS jobs through one model load.
+
+The reference's only entry point is one utterance per process
+(``inference_v2.py``); this CLI reads a JSONL jobs file and runs all jobs
+through the batched multi-prompt decoder — statically batched with
+shortest-job scheduling (offline throughput) or via the continuous-batching
+server (``--continuous``; online-style slot recycling).
+
+Each JSONL line is one job:
+
+    {"orig_audio": "a.wav", "orig_transcript": "...",
+     "target_transcript": "...", "alignment_file": "a.csv",
+     "tts": false, "savename": "job0"}
+
+``alignment_file`` may be omitted when ``--whisper_model`` /
+``--align_model`` are given (host-side ASR/forced alignment per job,
+as in the single-utterance CLI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="SSR-Speech TPU batch serving")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--codec_path", required=True)
+    p.add_argument("--jobs", required=True, help="JSONL of jobs (see module docstring)")
+    p.add_argument("--output_dir", default="./out")
+    p.add_argument("--language", default="en", choices=["en", "zh"])
+    p.add_argument("--continuous", action="store_true",
+                   help="slot-recycling continuous batching instead of "
+                        "static sorted batches")
+    p.add_argument("--n_slots", type=int, default=8)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--sub_amount", type=float, default=0.12)
+    p.add_argument("--codec_sr", type=int, default=50)
+    p.add_argument("--prompt_length", type=float, default=3.0)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=0.8)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--stop_repetition", type=int, default=2)
+    p.add_argument("--silence_tokens", type=int, nargs="*",
+                   default=[1388, 1898, 131])
+    p.add_argument("--cfg_coef", type=float, default=1.5)
+    p.add_argument("--cfg_stride", type=int, default=5)
+    p.add_argument("--aug_text", action="store_true")
+    p.add_argument("--cfg_pretrained", action="store_true")
+    p.add_argument("--use_watermark", action="store_true")
+    p.add_argument("--whisper_model", default=None)
+    p.add_argument("--align_model", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    t0 = time.time()
+
+    from ..config import DecodeConfig
+    from ..data.tokenizer import TextTokenizer
+    from ..utils import audio as audio_io
+    from . import pipeline
+    from .cli import load_codec, load_lm, prepare_job, resolve_alignment
+
+    params, cfg, phn2num = load_lm(args.model_path)
+    audio_tok = load_codec(args.codec_path)
+    lang = "cmn" if args.language == "zh" else "en-us"
+    text_tok = TextTokenizer(language=lang)
+
+    jobs = []
+    with open(args.jobs) as f:
+        for line in f:
+            if line.strip():
+                jobs.append(json.loads(line))
+    if not jobs:
+        raise SystemExit("no jobs in " + args.jobs)
+
+    prepared = []
+    for i, job in enumerate(jobs):
+        words = resolve_alignment(
+            job["orig_audio"], job.get("orig_transcript"),
+            alignment_file=job.get("alignment_file"),
+            align_model=args.align_model, whisper_model=args.whisper_model)
+        wav, sr = audio_io.read_wav(job["orig_audio"])
+        dur = wav.shape[-1] / sr
+        tts = bool(job.get("tts", False))
+        _, _, target_text, mask_intervals = prepare_job(
+            words, job.get("orig_transcript"), job["target_transcript"], dur,
+            language=args.language, tts=tts, codec_sr=args.codec_sr,
+            sub_amount=args.sub_amount, prompt_length=args.prompt_length)
+        prepared.append(dict(
+            audio_path=job["orig_audio"], target_text=target_text,
+            mask_interval=mask_intervals, tts=tts,
+            savename=job.get("savename", f"job{i}")))
+        logging.info("job %d (%s): mask intervals %s",
+                     i, prepared[-1]["savename"], mask_intervals)
+
+    dec = DecodeConfig(
+        top_k=args.top_k, top_p=args.top_p, temperature=args.temperature,
+        stop_repetition=args.stop_repetition,
+        silence_tokens=tuple(args.silence_tokens), cfg_coef=args.cfg_coef,
+        cfg_stride=args.cfg_stride, aug_text=args.aug_text,
+        cfg_pretrained=args.cfg_pretrained, codec_sr=args.codec_sr,
+        seed=args.seed,
+    )
+    outs = pipeline.inference_multi(
+        params, cfg, dec, phn2num, text_tok, audio_tok, prepared,
+        use_watermark=args.use_watermark, seed=args.seed,
+        continuous=args.continuous, n_slots=args.n_slots)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for job, out in zip(prepared, outs):
+        path = os.path.join(args.output_dir, job["savename"] + ".wav")
+        audio_io.write_wav(path, out[0, :, 0], audio_tok.sample_rate)
+        logging.info("wrote %s (%.2f s)", path,
+                     out.shape[1] / audio_tok.sample_rate)
+    logging.info("served %d jobs in %.2f s", len(jobs), time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()
