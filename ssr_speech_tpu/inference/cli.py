@@ -183,6 +183,11 @@ def main(argv=None):
     lang = "cmn" if args.language == "zh" else "en-us"
     text_tok = TextTokenizer(language=lang)
 
+    import os
+
+    if not os.path.isfile(args.orig_audio):
+        raise SystemExit(f"--orig_audio not found: {args.orig_audio}")
+
     words = resolve_alignment(
         args.orig_audio, args.orig_transcript,
         alignment_file=args.alignment_file, align_model=args.align_model,
@@ -206,8 +211,6 @@ def main(argv=None):
         aug_context=args.aug_context, cfg_pretrained=args.cfg_pretrained,
         codec_sr=args.codec_sr, seed=args.seed,
     )
-
-    import os
 
     os.makedirs(args.output_dir, exist_ok=True)
     if args.sample_batch_size > 1:
