@@ -116,10 +116,19 @@ class TTSStreamer:
 
         sent = 0  # frames handed to the codec so far
         target = F0  # first emission is smaller: earlier first audio
+        lookahead = False
         while True:
-            done_d, n_d, out_d = jax.device_get(
-                (srv.state.done[0], srv.state.out_len[0],
-                 srv.state.out[0]))  # one host sync per LM chunk
+            # slice out this chunk's results FIRST: the slice ops enqueue
+            # before the next (buffer-donating) chunk, so in-order device
+            # execution reads them safely even though the state is reused
+            refs = (srv.state.done[0], srv.state.out_len[0], srv.state.out[0])
+            if lookahead:
+                # pipeline: the NEXT LM chunk runs on device while the host
+                # harvests this one and drives the codec — without this the
+                # per-chunk host round-trips serialize with decode and cost
+                # more than the LM steps themselves (axon latency)
+                run_lm_chunk(F)
+            done_d, n_d, out_d = jax.device_get(refs)
             done, n = bool(done_d), int(n_d)
             raw = out_d[:, :n]
             frames = (patterns.revert_delay_pattern(raw) if n >= K
@@ -137,8 +146,14 @@ class TTSStreamer:
                 target = F
                 yield chunk, wav[0]
             if done:
+                # a blind-dispatched lookahead chunk (if any) was a no-op:
+                # its loop condition is false on a finished chain
                 srv._slot_req[0] = None
                 srv.state = srv.state._replace(
                     active=srv.state.active.at[0].set(False))
                 return
-            run_lm_chunk(F)
+            if not lookahead:
+                # first chunk was harvested un-pipelined (earliest possible
+                # first audio); start the lookahead from here
+                run_lm_chunk(F)
+                lookahead = True

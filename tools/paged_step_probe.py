@@ -15,7 +15,10 @@ cfg = SSRModelConfig(d_model=2048, nhead=16, num_layers=16, n_codebooks=4,
 params = ssr_model.init_ssr(jax.random.PRNGKey(0), cfg)
 dec_params = jax.tree.map(lambda p: p.astype(jnp.bfloat16),
                           params["decoder"])
-B, TP, TG = 16, 512, 640
+import os
+B = int(os.environ.get("PROBE_B", 16))
+TP = int(os.environ.get("PROBE_TP", 512))
+TG = int(os.environ.get("PROBE_TG", 640))
 pfx = trf.KVCache(jnp.zeros((16, B, 16, TP, 128), jnp.bfloat16),
                   jnp.zeros((16, B, 16, TP, 128), jnp.bfloat16),
                   jnp.asarray(TP, jnp.int32))
