@@ -25,6 +25,8 @@ balancer.py:90-136 — same math, one compiled program).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -83,7 +85,7 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99)
     sr = cfg.sample_rate
     sn = cfg.seanet
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: CodecTrainState, wav: jnp.ndarray,
                    labels: jnp.ndarray, keep: jnp.ndarray):
         """wav [B, T, 1]; labels [B, F] 0/1 watermark spans; keep [B, T]
@@ -190,7 +192,7 @@ def make_compression_train_step(cfg: CodecConfig, optimizers,
     sr = cfg.sample_rate
     sn = cfg.seanet
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: CodecTrainState, wav: jnp.ndarray):
         x = wav
 

@@ -166,7 +166,8 @@ def test_compression_train_step_trains_autoencoder():
                       jnp.float32)
     enc_before = np.asarray(jax.tree.leaves(state.frozen["encoder"])[0])
     dec_before = np.asarray(jax.tree.leaves(state.frozen["decoder"])[0])
-    new_state, metrics = step(state, wav)
+    quant_before = np.asarray(state.frozen["quantizer"]["embed"])
+    new_state, metrics = step(state, wav)  # donates state
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, v)
     assert not np.allclose(enc_before,
@@ -175,8 +176,7 @@ def test_compression_train_step_trains_autoencoder():
                            np.asarray(jax.tree.leaves(new_state.frozen["decoder"])[0]))
     # quantizer codebooks stay frozen (reference core_vq.py:205-217)
     np.testing.assert_array_equal(
-        np.asarray(state.frozen["quantizer"]["embed"]),
-        np.asarray(new_state.frozen["quantizer"]["embed"]))
+        quant_before, np.asarray(new_state.frozen["quantizer"]["embed"]))
 
 
 def test_kmeans_init_codebooks():
