@@ -248,6 +248,7 @@ class ContinuousBatcher:
         ts = cfg.tokens
         self.sentinels = np.arange(ts.mts, ts.mts + ts.max_n_spans,
                                    dtype=np.int32)[:max(num_task, 1)]
+        self._sentinels_dev = jnp.asarray(self.sentinels)
         R = n_slots * (2 if self.aug else 1)
         gen_cap = dec_mod._bucket(self.cap_total + 8, 128)
         dtype = jnp.dtype(dtype_name)
@@ -378,7 +379,7 @@ class ContinuousBatcher:
             self.state = self.state._replace(steps=jnp.zeros((), jnp.int32))
             self.state = _serve_chunk_impl(
                 self.params, self._pfx, self._banned, self.state,
-                self._x_lens, self._n_tasks, jnp.asarray(self.sentinels),
+                self._x_lens, self._n_tasks, self._sentinels_dev,
                 jnp.asarray(2**30, jnp.int32),
                 cfg=self.cfg, dec=self.dec, num_task=self.num_task,
                 cap_total=self.cap_total, aug_text=self.aug, n_slots=self.S,
@@ -413,10 +414,10 @@ class ContinuousBatcher:
 
         Returns (results, completion_times) with completion measured on the
         same clock as arrivals. ``clock`` (default ``time.monotonic``) is
-        injectable for tests. Offline workloads (all arrivals at 0) should
-        prefer ``decode.generate_multi`` over :func:`sorted_static_batches`
-        — the static loop's telescoping caches win on pure throughput
-        (tools/serve_probe.py)."""
+        injectable for tests. Offline workloads (everything available at
+        t=0) should instead use ``decode.generate_multi`` over
+        :func:`sorted_static_batches` batches — the static loop's
+        telescoping caches win on pure throughput (tools/serve_probe.py)."""
         import time as _time
 
         clock = clock or _time.monotonic
@@ -451,7 +452,7 @@ class ContinuousBatcher:
             self.state = self.state._replace(steps=jnp.zeros((), jnp.int32))
             self.state = _serve_chunk_impl(
                 self.params, self._pfx, self._banned, self.state,
-                self._x_lens, self._n_tasks, jnp.asarray(self.sentinels),
+                self._x_lens, self._n_tasks, self._sentinels_dev,
                 jnp.asarray(chunk_steps, jnp.int32),
                 cfg=self.cfg, dec=self.dec, num_task=self.num_task,
                 cap_total=self.cap_total, aug_text=self.aug, n_slots=self.S,

@@ -95,7 +95,7 @@ class TTSStreamer:
             srv.state = srv.state._replace(steps=jnp.zeros((), jnp.int32))
             srv.state = serve_mod._serve_chunk_impl(
                 srv.params, srv._pfx, srv._banned, srv.state,
-                srv._x_lens, srv._n_tasks, jnp.asarray(srv.sentinels),
+                srv._x_lens, srv._n_tasks, srv._sentinels_dev,
                 jnp.asarray(budget, jnp.int32),
                 cfg=srv.cfg, dec=srv.dec, num_task=srv.num_task,
                 cap_total=srv.cap_total, aug_text=srv.aug,
