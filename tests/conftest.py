@@ -12,3 +12,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The suite compiles hundreds of XLA programs in one process; keeping them
+    all live was enough to segfault the XLA CPU compiler near the end of the
+    run (reproducibly, around test_training's shard_map pipeline tests).
+    Each module recompiles what it needs anyway, so this only trades a
+    little wall time for bounded memory."""
+    yield
+    jax.clear_caches()
