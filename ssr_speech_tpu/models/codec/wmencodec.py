@@ -29,7 +29,11 @@ from . import seanet
 Params = Dict[str, Any]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def init_wmencodec(key, cfg: CodecConfig) -> Params:
+    # jitted: one program instead of thousands of small dispatched ops
+    # (full geometry on a warm chip: 58 -> 48 s incl compile; cached reuse
+    # is sub-second)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return dict(
         encoder=seanet.init_encoder(k1, cfg.seanet),

