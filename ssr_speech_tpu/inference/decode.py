@@ -481,6 +481,36 @@ def _generate_batched_impl(
     return final.out, final.span_end, final.out_len
 
 
+def _check_positions(cfg: SSRModelConfig, x_len: int, y_max: int,
+                     where: str):
+    """Fail with a clear message when a sequence would index past the sine
+    positional table (cfg.max_position; the reference pre-builds 4000,
+    modules/embedding.py:67). aug_context DOUBLES the audio+text lengths, so
+    tiny/debug configs can overflow here with a cryptic slice error
+    otherwise."""
+    need = max(x_len, y_max)
+    if need > cfg.max_position:
+        raise ValueError(
+            f"{where}: sequence needs {need} positions > "
+            f"cfg.max_position={cfg.max_position} (text {x_len}, audio up "
+            f"to {y_max}); raise max_position or shorten the input "
+            f"(aug_context doubles both lengths)")
+
+
+def _check_no_aug_context(dec: DecodeConfig, mask_intervals, where: str):
+    """The batched/served paths do not implement the aug_context prepend.
+    Like the reference, the flag only ACTIVATES when the masked content is
+    short (< 2 s, models/ssr.py:565-568), so it is a legitimate no-op for
+    long spans — but a short span with the flag set must fail loudly rather
+    than silently decode without context (use :func:`generate`)."""
+    context_len = sum(e - s for s, e in mask_intervals)
+    if dec.aug_context and context_len < 2 * dec.codec_sr:
+        raise NotImplementedError(
+            f"{where}: aug_context would activate for this short span "
+            f"({context_len} frames); it is only implemented on the "
+            "single-sample decode.generate path")
+
+
 def generate_batch(
     params,
     cfg: SSRModelConfig,
@@ -505,6 +535,7 @@ def generate_batch(
     K = cfg.n_codebooks
     x = np.asarray(x, np.int32)
     y = np.asarray(y, np.int32)
+    _check_no_aug_context(dec, mask_intervals, "generate_batch")
     prefix, _, num_task, nm = patterns.build_inference_prefix(y, mask_intervals, ts)
     sentinels = np.arange(ts.mts, ts.mts + ts.max_n_spans, dtype=np.int32)
 
@@ -698,6 +729,7 @@ def generate(
     x_len = int(x.shape[0])
     p_len = int(prefix.shape[1])
     cap_total = dec.max_gen_per_span * num_task
+    _check_positions(cfg, x_len, y.shape[1] + cap_total, "generate")
 
     # pad to compile-stable buckets
     sx_pad = _bucket(max(x_len, 1), x_bucket)
@@ -1062,6 +1094,7 @@ def generate_multi(
     for x, y, mask in prompts:
         x = np.asarray(x, np.int32)
         y = np.asarray(y, np.int32)
+        _check_no_aug_context(dec, list(mask), "generate_multi")
         prefix, _, num_task, nm = patterns.build_inference_prefix(y, list(mask), ts)
         built.append((x, y, prefix, num_task, nm))
     n_tasks = np.asarray([b[3] for b in built], np.int32)

@@ -126,9 +126,13 @@ def inference_one_sample(
     logger.info("source audio: %d codec frames (%.2f s)", y.shape[1],
                 y.shape[1] / dec.codec_sr)
 
+    # aug_context: the reference feeds the ORIGINAL codes as the context
+    # audio too (inference_scale.py:43-49 passes original_audio twice), so
+    # prompt_y = y; decode.generate activates the prepend only when the
+    # masked span is short (< 2 s) and trims it from the outputs
     out_codes, marks, out_intervals, nm = decode_mod.generate(
         lm_params, cfg, dec, x, y, list(mask_interval), jax.random.PRNGKey(seed),
-        prompt_x=prompt_x,
+        prompt_x=prompt_x, prompt_y=y,
     )
     logger.info("generated %d codec frames (%.2f s)", out_codes.shape[2],
                 out_codes.shape[2] / dec.codec_sr)

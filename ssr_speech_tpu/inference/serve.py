@@ -294,6 +294,7 @@ class ContinuousBatcher:
         K = cfg.n_codebooks
         x = np.asarray(x, np.int32)
         y = np.asarray(y, np.int32)
+        dec_mod._check_no_aug_context(dec, list(mask), "ContinuousBatcher")
         prefix, _, ntask, nm = patterns.build_inference_prefix(
             y, list(mask), ts)
         if len(x) > self.sx_pad or prefix.shape[1] > self.p_pad:

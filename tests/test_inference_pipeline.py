@@ -208,3 +208,75 @@ def test_tts_trim_offset():
     assert pipeline.tts_trim_offset(words, "brave", "en") == 0.5
     assert pipeline.tts_trim_offset([], "x") == 0.0
     assert pipeline.tts_trim_offset([("好", 0.2, 0.4)], "好", "zh") == 0.2
+
+
+def test_pipeline_passes_aug_context_prompt(monkeypatch):
+    """inference_one_sample must feed the ORIGINAL codes as the aug_context
+    prompt audio (the reference passes original_audio twice,
+    inference_scale.py:43-49) — without prompt_y the flag silently never
+    activated."""
+    captured = {}
+
+    def fake_generate(params, cfg, dec, x, y, mask, rng, **kw):
+        captured.update(kw, y=y)
+        K, T = y.shape
+        return (np.zeros((1, K, T), np.int32), np.zeros((1, T), np.int32),
+                [(0, T)], [(0, T)])
+
+    monkeypatch.setattr(pipeline.decode_mod, "generate", fake_generate)
+    monkeypatch.setattr(
+        pipeline, "_encode",
+        lambda tok, path: (np.zeros((1, 4, 20), np.int32), None,
+                           np.zeros((1, 20 * 16, 1), np.float32)))
+
+    class _Tok:
+        cfg = type("C", (), {"hop_length": 16})()
+        sample_rate = 16000
+
+        def decode(self, codes):
+            return np.zeros((1, codes.shape[2] * 16, 1), np.float32)
+
+    from ssr_speech_tpu.config import DecodeConfig, tiny_ssr_config
+
+    cfg = tiny_ssr_config()
+    phn2num = {c: i for i, c in enumerate("abcdefgh ")}
+    from ssr_speech_tpu.data.tokenizer import TextTokenizer
+
+    pipeline.inference_one_sample(
+        {}, cfg, DecodeConfig(aug_context=True), phn2num,
+        TextTokenizer(), _Tok(), "dummy.wav", "abc ab", "abc de",
+        [(5, 10)], use_watermark=False)
+    assert "prompt_y" in captured and captured["prompt_y"] is captured["y"]
+    assert captured["prompt_x"] is not None
+
+
+def test_batched_paths_reject_short_span_aug_context():
+    """generate_batch / generate_multi / the server fail loudly when
+    aug_context WOULD activate (short span) instead of silently decoding
+    without the context prepend; long spans remain a no-op as in the
+    reference (models/ssr.py:565-568)."""
+    import jax
+
+    from ssr_speech_tpu.config import DecodeConfig, tiny_ssr_config
+    from ssr_speech_tpu.inference import decode as dec_mod
+    from ssr_speech_tpu.inference import serve as serve_mod
+    from ssr_speech_tpu.models import ssr as ssr_model
+
+    cfg = tiny_ssr_config()
+    params = ssr_model.init_ssr(jax.random.PRNGKey(0), cfg)
+    dec = DecodeConfig(aug_context=True, top_k=1, stop_repetition=-1,
+                       aug_text=False, max_gen_per_span=16)
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, cfg.tokens.audio_vocab_size,
+                     size=(cfg.n_codebooks, 24))
+    x = rng.integers(0, cfg.text_vocab_size - 1, size=(12,))
+    short = [(6, 12)]  # 6 frames < 2 s -> would activate
+    with pytest.raises(NotImplementedError, match="aug_context"):
+        dec_mod.generate_batch(params, cfg, dec, x, y, short,
+                               jax.random.PRNGKey(0), 2)
+    with pytest.raises(NotImplementedError, match="aug_context"):
+        dec_mod.generate_multi(params, cfg, dec, [(x, y, short)],
+                               jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError, match="aug_context"):
+        serve_mod.serve_requests(params, cfg, dec, [(x, y, short)],
+                                 n_slots=1)
