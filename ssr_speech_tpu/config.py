@@ -289,6 +289,9 @@ class DecodeConfig:
     top_p: float = 0.8
     temperature: float = 1.0
     stop_repetition: int = 2
+    # accepted for reference-CLI compatibility only: the compiled decode
+    # always uses the preallocated KV cache (reference kvcache=0 re-ran the
+    # full prefix per token, a slow path with identical outputs)
     kvcache: bool = True
     silence_tokens: Tuple[int, ...] = (1388, 1898, 131)
     cfg_coef: float = 1.5
@@ -297,7 +300,7 @@ class DecodeConfig:
     aug_context: bool = False
     cfg_pretrained: bool = False
     sample_batch_size: int = 1
-    seed: int = 1
+    seed: int = 1  # informational; callers derive the PRNGKey themselves
     codec_sr: int = 50
     # static caps for XLA shapes
     max_gen_per_span: int = 1000  # hard cap on generated tokens per span

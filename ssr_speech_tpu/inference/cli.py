@@ -51,7 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_transcript", type=str, required=True)
     p.add_argument("--alignment_file", type=str, default=None,
                    help="CSV word,start,end (skips ASR)")
-    p.add_argument("--temp_folder", type=str, default="./temp")
+    p.add_argument("--temp_folder", type=str, default="./temp",
+                   help="accepted for reference-CLI compatibility; this "
+                        "implementation keeps everything in memory")
     p.add_argument("--output_dir", type=str, default="./out")
     p.add_argument("--savename", type=str, default="output")
     p.add_argument("--whisper_model", type=str, default=None,
