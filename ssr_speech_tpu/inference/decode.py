@@ -497,6 +497,35 @@ def _check_positions(cfg: SSRModelConfig, x_len: int, y_max: int,
             f"(aug_context doubles both lengths)")
 
 
+def build_text_rows(xs, sx_pad: int, cfg: SSRModelConfig, dec: DecodeConfig,
+                    uncond_rng):
+    """Pad conditional text rows and, under CFG, append the uncond rows.
+
+    xs: list of 1-D int arrays. Returns (xb [R, sx_pad], x_lens_r [R]) with
+    R = len(xs) (or 2x under aug_text). cfg_pretrained uses the reserved
+    token over each row's true length (``models/ssr.py:584-588``); otherwise
+    rows are random text drawn from ``uncond_rng`` (fresh per run, as the
+    reference samples them). Shared by :func:`generate_multi` and the
+    continuous-batching server so their prompt construction cannot drift."""
+    S = len(xs)
+    x_rows = np.full((S, sx_pad), cfg.text_pad_token, np.int32)
+    x_lens = np.zeros(S, np.int32)
+    for i, x in enumerate(xs):
+        x_rows[i, : len(x)] = x
+        x_lens[i] = len(x)
+    if not dec.aug_text:
+        return x_rows, x_lens
+    if dec.cfg_pretrained:
+        uncond = np.full((S, sx_pad), cfg.text_pad_token, np.int32)
+        for i in range(S):
+            uncond[i, : x_lens[i]] = cfg.text_vocab_size - 1
+    else:
+        uncond = np.asarray(jax.random.randint(
+            uncond_rng, (S, sx_pad), 0, cfg.n_text_tokens)).astype(np.int32)
+    return (np.concatenate([x_rows, uncond], axis=0),
+            np.concatenate([x_lens, x_lens]))
+
+
 def _check_no_aug_context(dec: DecodeConfig, mask_intervals, where: str):
     """The batched/served paths do not implement the aug_context prepend.
     Like the reference, the flag only ACTIVATES when the masked content is
@@ -729,7 +758,9 @@ def generate(
     x_len = int(x.shape[0])
     p_len = int(prefix.shape[1])
     cap_total = dec.max_gen_per_span * num_task
-    _check_positions(cfg, x_len, y.shape[1] + cap_total, "generate")
+    # audio positions run to p_len + generated steps (the prefix already
+    # includes delay-pattern and sentinel overhead beyond y's raw length)
+    _check_positions(cfg, x_len, p_len + cap_total, "generate")
 
     # pad to compile-stable buckets
     sx_pad = _bucket(max(x_len, 1), x_bucket)
@@ -1105,29 +1136,14 @@ def generate_multi(
     p_pad = _bucket(max(max(b[2].shape[1] for b in built), 1), prefix_bucket)
     cap_total = dec.max_gen_per_span * num_task
 
-    x_rows = np.full((S, sx_pad), cfg.text_pad_token, np.int32)
     prefixes = np.full((S, K, p_pad), ts.empty, np.int32)
-    x_lens = np.zeros(S, np.int32)
     p_lens = np.zeros(S, np.int32)
     for i, (x, y, prefix, _, _) in enumerate(built):
-        x_rows[i, : len(x)] = x
         prefixes[i, :, : prefix.shape[1]] = prefix
-        x_lens[i] = len(x)
         p_lens[i] = prefix.shape[1]
-    if dec.aug_text:
-        if dec.cfg_pretrained:
-            uncond = np.full((S, sx_pad), cfg.text_pad_token, np.int32)
-            for i in range(S):
-                uncond[i, : x_lens[i]] = cfg.text_vocab_size - 1
-        else:
-            uncond = np.asarray(jax.random.randint(
-                jax.random.fold_in(rng, 7), (S, sx_pad), 0, cfg.n_text_tokens)
-            ).astype(np.int32)
-        xb = np.concatenate([x_rows, uncond], axis=0)
-        x_lens_r = np.concatenate([x_lens, x_lens])
-    else:
-        xb = x_rows
-        x_lens_r = x_lens
+    xb, x_lens_r = build_text_rows([b[0] for b in built], sx_pad, cfg, dec,
+                                   jax.random.fold_in(rng, 7))
+    x_lens = x_lens_r[:S]
 
     tmax = _bucket(sx_pad + p_pad + 8, 256)
     pfx, key_banned = _prefill_multi_impl(

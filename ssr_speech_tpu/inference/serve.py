@@ -288,10 +288,11 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------- internals
 
-    def _prefill_request(self, x, y, mask):
-        """Pad + prefill ONE request; returns (pfx rows, banned rows, meta)."""
+    def validate_request(self, x, y, mask):
+        """Raise (geometry / span count / aug_context) BEFORE any decoding:
+        a failure mid-run would abandon in-flight lanes and drop finished
+        results. Returns (x, y, prefix, ntask, nm) for reuse."""
         cfg, dec, ts = self.cfg, self.dec, self.cfg.tokens
-        K = cfg.n_codebooks
         x = np.asarray(x, np.int32)
         y = np.asarray(y, np.int32)
         dec_mod._check_no_aug_context(dec, list(mask), "ContinuousBatcher")
@@ -303,24 +304,19 @@ class ContinuousBatcher:
                 f" prefix {prefix.shape[1]}/{self.p_pad}")
         if ntask > self.num_task:
             raise ValueError(f"request has {ntask} spans > {self.num_task}")
-        x_row = np.full((1, self.sx_pad), cfg.text_pad_token, np.int32)
-        x_row[0, : len(x)] = x
+        return x, y, prefix, ntask, nm
+
+    def _prefill_request(self, x, y, mask):
+        """Pad + prefill ONE request; returns (pfx rows, banned rows, meta)."""
+        cfg, dec, ts = self.cfg, self.dec, self.cfg.tokens
+        K = cfg.n_codebooks
+        x, y, prefix, ntask, nm = self.validate_request(x, y, mask)
         pfx_row = np.full((1, K, self.p_pad), ts.empty, np.int32)
         pfx_row[0, :, : prefix.shape[1]] = prefix
-        if self.aug:
-            if dec.cfg_pretrained:
-                uncond = np.full((1, self.sx_pad), cfg.text_pad_token, np.int32)
-                uncond[0, : len(x)] = cfg.text_vocab_size - 1
-            else:
-                self._n_prefills += 1
-                uncond = np.asarray(jax.random.randint(
-                    jax.random.fold_in(self._uncond_key, self._n_prefills),
-                    (1, self.sx_pad), 0, cfg.n_text_tokens)).astype(np.int32)
-            xb = np.concatenate([x_row, uncond], axis=0)
-            x_lens_r = np.asarray([len(x), len(x)], np.int32)
-        else:
-            xb = x_row
-            x_lens_r = np.asarray([len(x)], np.int32)
+        self._n_prefills += 1
+        xb, x_lens_r = dec_mod.build_text_rows(
+            [x], self.sx_pad, cfg, dec,
+            jax.random.fold_in(self._uncond_key, self._n_prefills))
         new_pfx, new_banned = dec_mod._prefill_multi_impl(
             self.params, jnp.asarray(xb), jnp.asarray(pfx_row),
             jnp.asarray(x_lens_r), jnp.asarray([prefix.shape[1]], np.int32),
@@ -348,6 +344,20 @@ class ContinuousBatcher:
             aug_text=self.aug, n_slots=self.S,
         )
 
+    def _run_chunk(self, step_budget: int):
+        """Reset the admission counter and dispatch one compiled serve
+        chunk (the ONLY call site of ``_serve_chunk_impl`` — run(),
+        run_online() and the TTS streamer all pace through here)."""
+        self.state = self.state._replace(steps=jnp.zeros((), jnp.int32))
+        self.state = _serve_chunk_impl(
+            self.params, self._pfx, self._banned, self.state,
+            self._x_lens, self._n_tasks, self._sentinels_dev,
+            jnp.asarray(step_budget, jnp.int32),
+            cfg=self.cfg, dec=self.dec, num_task=self.num_task,
+            cap_total=self.cap_total, aug_text=self.aug, n_slots=self.S,
+            dtype_name=self.dtype_name,
+        )
+
     def _harvest_slot(self, slot: int):
         meta = self._slot_req[slot]
         out_row = np.asarray(self.state.out[slot])
@@ -368,6 +378,8 @@ class ContinuousBatcher:
         ``progress``: optional callable(completed, total, steps)."""
         if rng is not None:
             self.state = self.state._replace(key=rng)
+        for x, y, mask in requests:  # fail fast, before any decoding
+            self.validate_request(x, y, mask)
         pending = deque(enumerate(requests))
         results: List = [None] * len(requests)
         n_done = 0
@@ -377,15 +389,7 @@ class ContinuousBatcher:
             idx, (x, y, mask) = pending.popleft()
             self._fill_slot(slot, idx, x, y, mask)
         while True:
-            self.state = self.state._replace(steps=jnp.zeros((), jnp.int32))
-            self.state = _serve_chunk_impl(
-                self.params, self._pfx, self._banned, self.state,
-                self._x_lens, self._n_tasks, self._sentinels_dev,
-                jnp.asarray(2**30, jnp.int32),
-                cfg=self.cfg, dec=self.dec, num_task=self.num_task,
-                cap_total=self.cap_total, aug_text=self.aug, n_slots=self.S,
-                dtype_name=self.dtype_name,
-            )
+            self._run_chunk(2**30)
             harvestable = np.asarray(self.state.active & self.state.done)
             if not harvestable.any():
                 break
@@ -424,6 +428,8 @@ class ContinuousBatcher:
         clock = clock or _time.monotonic
         if rng is not None:
             self.state = self.state._replace(key=rng)
+        for x, y, mask in requests:  # fail fast, before any decoding
+            self.validate_request(x, y, mask)
         t0 = clock()
         order = sorted(range(len(requests)), key=lambda i: arrival_times[i])
         pending = deque((i, requests[i]) for i in order)
@@ -450,15 +456,7 @@ class ContinuousBatcher:
                 if wait > 0:
                     _time.sleep(wait)
             fill_free_slots()
-            self.state = self.state._replace(steps=jnp.zeros((), jnp.int32))
-            self.state = _serve_chunk_impl(
-                self.params, self._pfx, self._banned, self.state,
-                self._x_lens, self._n_tasks, self._sentinels_dev,
-                jnp.asarray(chunk_steps, jnp.int32),
-                cfg=self.cfg, dec=self.dec, num_task=self.num_task,
-                cap_total=self.cap_total, aug_text=self.aug, n_slots=self.S,
-                dtype_name=self.dtype_name,
-            )
+            self._run_chunk(chunk_steps)
             harvestable = np.asarray(self.state.active & self.state.done)
             now = clock() - t0
             for slot in np.nonzero(harvestable)[0]:

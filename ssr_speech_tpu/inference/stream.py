@@ -91,16 +91,7 @@ class TTSStreamer:
             srv.state = srv.state._replace(key=rng)
         srv._fill_slot(0, 0, x, y_prompt, [(T, T)])
 
-        def run_lm_chunk(budget: int):
-            srv.state = srv.state._replace(steps=jnp.zeros((), jnp.int32))
-            srv.state = serve_mod._serve_chunk_impl(
-                srv.params, srv._pfx, srv._banned, srv.state,
-                srv._x_lens, srv._n_tasks, srv._sentinels_dev,
-                jnp.asarray(budget, jnp.int32),
-                cfg=srv.cfg, dec=srv.dec, num_task=srv.num_task,
-                cap_total=srv.cap_total, aug_text=srv.aug,
-                n_slots=1, dtype_name=srv.dtype_name,
-            )
+        run_lm_chunk = srv._run_chunk
 
         # the first LM chunk is dispatched BEFORE codec prompt-warming: both
         # queue on the device while the host is still issuing, so the warm

@@ -216,7 +216,11 @@ int read_wav_mono(const char* path, std::vector<float>* mono, int* rate) {
       data = body;
       data_len = clen;
     }
-    pos += 8 + csize + (csize & 1);
+    // 64-bit advance: a corrupt csize near UINT32_MAX must not wrap to 0
+    // and spin this loop forever inside a worker thread
+    long adv = 8L + (long)csize + (long)(csize & 1);
+    if (adv <= 8 && csize != 0) break;
+    pos += adv;
   }
   if (audio_format < 0 || !data || channels <= 0) return 1;
   bool is_float = audio_format == 3 || (audio_format == 0xFFFE && bits == 32);

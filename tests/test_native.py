@@ -129,3 +129,22 @@ def test_audio_dataset_native_loader(tmp_path):
         assert b.shape == (4, ds.segment_samples, 1)
         assert b.dtype == np.float32
         assert np.isfinite(b).all() and np.abs(b).max() > 0
+
+
+def test_load_wav_batch_corrupt_chunk_terminates(tmp_path):
+    """A WAV whose chunk header claims csize near UINT32_MAX must error out,
+    not wrap the 32-bit advance to zero and spin a worker thread forever."""
+    import struct
+
+    p = str(tmp_path / "corrupt.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 100))
+        f.write(b"WAVE")
+        f.write(b"junk")
+        f.write(struct.pack("<I", 0xFFFFFFF7))  # 8 + csize wraps to 0
+        f.write(b"\x00" * 64)
+    out, errs = native.load_wav_batch([p], 16000, 1000,
+                                      np.asarray([0.0]), n_threads=1)
+    assert errs[0] != 0
+    assert np.all(out[0] == 0)

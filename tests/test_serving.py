@@ -128,3 +128,20 @@ def test_geometry_rejected(params):
     (x, y, mask) = _requests(1)[0]
     with pytest.raises(ValueError, match="exceeds server geometry"):
         server.run([(x, y, mask)])
+
+
+def test_oversized_request_rejected_before_decoding(params):
+    """A geometry violation anywhere in the workload fails BEFORE any
+    decoding starts — a mid-run failure would abandon in-flight lanes and
+    drop finished results — and the server stays usable afterwards."""
+    dec = _greedy_dec(True)
+    ok = _requests(2)
+    big_x = np.arange(500) % 30  # exceeds sx_pad
+    server = serve.ContinuousBatcher(params, CFG, dec, 2, sx_pad=64,
+                                     p_pad=128, num_task=2,
+                                     dtype_name="float32")
+    with pytest.raises(ValueError, match="exceeds server geometry"):
+        server.run(ok + [(big_x, ok[0][1], ok[0][2])])
+    assert not np.asarray(server.state.active).any()  # nothing started
+    results = server.run(ok, jax.random.PRNGKey(0))
+    assert all(r is not None for r in results)

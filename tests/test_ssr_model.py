@@ -156,3 +156,25 @@ def test_generate_deterministic_under_seed(params):
     out1 = decode.generate(params, CFG, dec, x, y, [(8, 15)], jax.random.PRNGKey(42))
     out2 = decode.generate(params, CFG, dec, x, y, [(8, 15)], jax.random.PRNGKey(42))
     np.testing.assert_array_equal(out1[0], out2[0])
+
+
+def test_generate_rejects_overlong_positions():
+    """Sequences that would index past the sine positional table fail with
+    an actionable error instead of a cryptic dynamic-slice failure (the
+    guard accounts for the prefix's delay/sentinel overhead + the
+    generation cap, not just the raw code length)."""
+    import dataclasses
+
+    from ssr_speech_tpu.config import DecodeConfig
+    from ssr_speech_tpu.inference import decode as dec_mod
+
+    cfg = dataclasses.replace(tiny_ssr_config(), max_position=64)
+    params = ssr_model.init_ssr(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, cfg.tokens.audio_vocab_size,
+                     size=(cfg.n_codebooks, 50))
+    x = rng.integers(0, cfg.text_vocab_size - 1, size=(10,))
+    dec = DecodeConfig(top_k=1, stop_repetition=-1, max_gen_per_span=40)
+    with pytest.raises(ValueError, match="max_position"):
+        dec_mod.generate(params, cfg, dec, x, y, [(10, 20)],
+                         jax.random.PRNGKey(0), dtype_name="float32")
