@@ -49,6 +49,16 @@ def _bucket(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _grow_cache(s, size):
+    """Stage transition for :func:`_staged_while`: zero-pad the state's KV
+    buffers to the next telescoping capacity (shared by all decode
+    variants; state must carry the cache in a ``cache`` field)."""
+    pad = size - s.cache.max_len
+    spec = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
+    return s._replace(cache=trf.KVCache(
+        jnp.pad(s.cache.k, spec), jnp.pad(s.cache.v, spec), s.cache.length))
+
+
 def _staged_while(cond_fn, body, init, sizes, grow):
     """Run a while loop in cache-size stages (telescoping KV cache).
 
@@ -264,12 +274,7 @@ def _generate_impl(
     sizes = [cache.max_len] + [
         s for s in trf.cache_stage_sizes(total) if s > cache.max_len]
 
-    def grow(s, size):
-        pad = size - s.cache.max_len
-        spec = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
-        return s._replace(cache=trf.KVCache(
-            jnp.pad(s.cache.k, spec), jnp.pad(s.cache.v, spec),
-            s.cache.length))
+    grow = _grow_cache
 
     final = _staged_while(cond, body, init, sizes, grow)
     return final.out, final.span_end, final.out_len
@@ -470,31 +475,35 @@ def _generate_batched_impl(
         done=jnp.zeros((S,), bool),
     )
 
-    def grow(s, size):
-        pad = size - s.cache.max_len
-        spec = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
-        return s._replace(cache=trf.KVCache(
-            jnp.pad(s.cache.k, spec), jnp.pad(s.cache.v, spec),
-            s.cache.length))
+    grow = _grow_cache
 
     final = _staged_while(cond_fn, body, init, gen_sizes, grow)
     return final.out, final.span_end, final.out_len
 
 
-def _check_positions(cfg: SSRModelConfig, x_len: int, y_max: int,
+def _check_positions(cfg: SSRModelConfig, prefill_need: int, gen_max: int,
                      where: str):
-    """Fail with a clear message when a sequence would index past the sine
-    positional table (cfg.max_position; the reference pre-builds 4000,
-    modules/embedding.py:67). aug_context DOUBLES the audio+text lengths, so
-    tiny/debug configs can overflow here with a cryptic slice error
-    otherwise."""
-    need = max(x_len, y_max)
-    if need > cfg.max_position:
+    """Positional-table capacity checks (cfg.max_position; the reference
+    pre-builds 4000 rows, modules/embedding.py:67).
+
+    The PREFILL embeds padded text/prefix rows directly — exceeding the
+    table is a hard error (otherwise a cryptic dynamic-slice failure;
+    aug_context doubles both lengths). GENERATION clips its position lookup
+    to the last table row, so exceeding there only degrades quality — warn
+    rather than break decode paths whose caps are far above what the length
+    cap lets them actually generate."""
+    if prefill_need > cfg.max_position:
         raise ValueError(
-            f"{where}: sequence needs {need} positions > "
-            f"cfg.max_position={cfg.max_position} (text {x_len}, audio up "
-            f"to {y_max}); raise max_position or shorten the input "
-            f"(aug_context doubles both lengths)")
+            f"{where}: prompt needs {prefill_need} positions > "
+            f"cfg.max_position={cfg.max_position}; raise max_position or "
+            f"shorten the input (aug_context doubles audio+text lengths)")
+    if gen_max > cfg.max_position:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: generation may reach position %d > max_position=%d; "
+            "positions clip to the last sine row beyond that (consider "
+            "raising max_position)", where, gen_max, cfg.max_position)
 
 
 def build_text_rows(xs, sx_pad: int, cfg: SSRModelConfig, dec: DecodeConfig,
@@ -758,13 +767,17 @@ def generate(
     x_len = int(x.shape[0])
     p_len = int(prefix.shape[1])
     cap_total = dec.max_gen_per_span * num_task
-    # audio positions run to p_len + generated steps (the prefix already
-    # includes delay-pattern and sentinel overhead beyond y's raw length)
-    _check_positions(cfg, x_len, p_len + cap_total, "generate")
 
     # pad to compile-stable buckets
     sx_pad = _bucket(max(x_len, 1), x_bucket)
     p_pad = _bucket(max(p_len, 1), prefix_bucket)
+    # audio positions run to p_len + generated steps; generation is bounded
+    # by BOTH the per-span cap and the length cap (x_len * mult triggers
+    # EOG, plus a K-step cascade and the sentinel feeds of later spans)
+    gen_bound = p_len + min(cap_total,
+                            max(x_len * dec.length_cap_mult - p_len, 0)
+                            + num_task * (K + 2))
+    _check_positions(cfg, max(sx_pad, p_pad), gen_bound, "generate")
     xb_padded = np.full((xb.shape[0], sx_pad), cfg.text_pad_token, np.int32)
     xb_padded[:, :x_len] = xb
     prefix_padded = np.full((K, p_pad), ts.empty, np.int32)
@@ -1091,12 +1104,7 @@ def _generate_multi_impl(
         done=jnp.zeros((S,), bool),
     )
 
-    def grow(s, size):
-        pad = size - s.cache.max_len
-        spec = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
-        return s._replace(cache=trf.KVCache(
-            jnp.pad(s.cache.k, spec), jnp.pad(s.cache.v, spec),
-            s.cache.length))
+    grow = _grow_cache
 
     final = _staged_while(cond_fn, body, init, gen_sizes, grow)
     return final.out, final.span_end, final.out_len

@@ -183,7 +183,11 @@ def _pipeline_local(layers_local, h_all, bias_all, rng, *, cfg: SSRModelConfig,
                         state)
         m_here = jnp.clip(t - stage, 0, M - 1)  # microbatch at this stage
         bias = jax.lax.dynamic_index_in_dim(bias_all, m_here, keepdims=False)
-        mkey = jax.random.fold_in(rng, m_here)
+        # fold the dp coordinate in too: without it every dp shard of a
+        # microbatch draws IDENTICAL dropout masks (the GSPMD step's masks
+        # are globally random across the batch)
+        mkey = jax.random.fold_in(jax.random.fold_in(rng, m_here),
+                                  jax.lax.axis_index("dp"))
         y = _apply_stage(layers_local, inp, bias, mkey, cfg=cfg, stage=stage,
                          layers_per_stage=layers_per_stage, tp_size=tp_size,
                          dtype=dtype, deterministic=deterministic, remat=remat,

@@ -204,16 +204,23 @@ class Trainer:
         self.params = ssr_model.init_ssr(init_key, cfg)
         total = tcfg.num_steps or 100000
         self.optimizer, self.schedule = optimlib.build_optimizer(tcfg.optim, total)
-        self.opt_state = self.optimizer.init(self.params)
         if pp > 1:
+            if sequence_parallel:
+                raise ValueError(
+                    "sequence_parallel is not supported with pp > 1 (the "
+                    "GPipe step shards activations by stage/microbatch; "
+                    "drop --sequence_parallel or use the GSPMD step)")
             from ..parallel import pipeline as pl
 
+            # init the optimizer AFTER sharding: a full unsharded state for
+            # the 830M would transiently double optimizer memory
             self.params = pl.shard_params_pp(mesh, self.params)
             self.opt_state = self.optimizer.init(self.params)
             self.train_step = pl.make_pp_train_step(
                 cfg, tcfg, self.optimizer, mesh, n_micro=n_micro,
                 unroll=unroll)
         else:
+            self.opt_state = self.optimizer.init(self.params)
             self.train_step = make_train_step(
                 cfg, tcfg, self.optimizer, mesh,
                 sequence_parallel=sequence_parallel, unroll=unroll)

@@ -40,7 +40,13 @@ def ctc_forced_align(
     """
     T, V = log_probs.shape
     L = len(tokens)
-    assert L > 0 and T >= L, (T, L)
+    # adjacent equal tokens need a separating blank frame, so the minimal
+    # path length is L + #adjacent-duplicate-pairs (standard CTC topology)
+    dups = sum(1 for a, b in zip(tokens, tokens[1:]) if a == b)
+    if L == 0 or T < L + dups:
+        raise ValueError(
+            f"CTC alignment infeasible: {T} frames for {L} tokens with "
+            f"{dups} adjacent duplicates (audio too short for transcript)")
     S = 2 * L + 1  # interleaved blanks: b t0 b t1 b ... b tL-1 b
 
     def state_token(s: int) -> int:
@@ -78,6 +84,9 @@ def ctc_forced_align(
     spans: List[Tuple[int, int]] = []
     for j in range(L):
         frames = np.nonzero(path == 2 * j + 1)[0]
+        if frames.size == 0:  # should be unreachable given the check above
+            raise ValueError(
+                f"CTC backtrace assigned no frames to token {j}/{L}")
         spans.append((int(frames[0]), int(frames[-1]) + 1))
     return spans
 
@@ -144,16 +153,27 @@ class Wav2Vec2Aligner:
 
         tokenizer = self.processor.tokenizer
         delim = tokenizer.word_delimiter_token
-        text = transcript.upper() if tokenizer.do_lower_case is False else transcript
-        norm = delim.join("".join(
-            ch for ch in w if ch.upper() in tokenizer.get_vocab()
-            or ch in ("'",)).upper() for w in text.split())
+        vocab = tokenizer.get_vocab()
+
+        def to_vocab(ch):
+            # CTC vocabs come in upper- OR lower-case variants; match either
+            for c in (ch, ch.upper(), ch.lower()):
+                if c in vocab:
+                    return c
+            return None
+
+        norm = delim.join(
+            "".join(c for c in (to_vocab(ch) for ch in w) if c is not None)
+            for w in transcript.split())
         ids = tokenizer.convert_tokens_to_ids(list(norm))
         toks = [t for t, i in zip(list(norm), ids)
                 if i != tokenizer.unk_token_id]
         ids = [i for i in ids if i != tokenizer.unk_token_id]
         if not ids:
-            return []
+            raise ValueError(
+                "forced alignment: no transcript character maps into the "
+                f"CTC vocab of {type(tokenizer).__name__} (checked both "
+                "cases) — wrong --align_model for this language?")
         spans = ctc_forced_align(log_probs, ids,
                                  blank=tokenizer.pad_token_id)
         sec_per_frame = (mono.shape[0] / sr) / log_probs.shape[0]

@@ -159,10 +159,10 @@ def test_generate_deterministic_under_seed(params):
 
 
 def test_generate_rejects_overlong_positions():
-    """Sequences that would index past the sine positional table fail with
-    an actionable error instead of a cryptic dynamic-slice failure (the
-    guard accounts for the prefix's delay/sentinel overhead + the
-    generation cap, not just the raw code length)."""
+    """A PROMPT whose padded prefix exceeds the sine positional table fails
+    with an actionable error instead of a cryptic dynamic-slice failure
+    (generation past the table only clips + warns; the prefill embed is the
+    hard limit)."""
     import dataclasses
 
     from ssr_speech_tpu.config import DecodeConfig

@@ -44,7 +44,9 @@ def main(argv=None):
         gen, sr_g = audio_io.read_wav(row["gen"])
         assert sr_r == sr_g, (row, sr_r, sr_g)
         sr = sr_r
-        pairs.append((ref.reshape(-1), gen.reshape(-1)))
+        # mono-mix [C, T] -> [T]: reshape(-1) would concatenate channels
+        # end-to-end and destroy time alignment for stereo files
+        pairs.append((ref.mean(axis=0), gen.mean(axis=0)))
 
     transcripts = None
     if all("text" in r and "hyp" in r for r in rows) and rows:
