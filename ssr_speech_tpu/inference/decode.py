@@ -274,9 +274,7 @@ def _generate_impl(
     sizes = [cache.max_len] + [
         s for s in trf.cache_stage_sizes(total) if s > cache.max_len]
 
-    grow = _grow_cache
-
-    final = _staged_while(cond, body, init, sizes, grow)
+    final = _staged_while(cond, body, init, sizes, _grow_cache)
     return final.out, final.span_end, final.out_len
 
 
@@ -475,9 +473,7 @@ def _generate_batched_impl(
         done=jnp.zeros((S,), bool),
     )
 
-    grow = _grow_cache
-
-    final = _staged_while(cond_fn, body, init, gen_sizes, grow)
+    final = _staged_while(cond_fn, body, init, gen_sizes, _grow_cache)
     return final.out, final.span_end, final.out_len
 
 
@@ -529,6 +525,8 @@ def build_text_rows(xs, sx_pad: int, cfg: SSRModelConfig, dec: DecodeConfig,
         for i in range(S):
             uncond[i, : x_lens[i]] = cfg.text_vocab_size - 1
     else:
+        # range INCLUDES the pad id, matching the reference exactly
+        # (models/ssr.py:574 randint over text_vocab_size + 1)
         uncond = np.asarray(jax.random.randint(
             uncond_rng, (S, sx_pad), 0, cfg.n_text_tokens)).astype(np.int32)
     return (np.concatenate([x_rows, uncond], axis=0),
@@ -564,7 +562,6 @@ def generate_batch(
     dtype_name: str = "bfloat16",
     x_bucket: int = 64,
     prefix_bucket: int = 128,
-    tmax_bucket: int = 512,
 ) -> List[Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]], List[Tuple[int, int]]]]:
     """Generate ``n_samples`` independent sampling chains for one prompt in a
     single compiled loop. Returns a list of per-chain (codes, marks,
@@ -582,6 +579,8 @@ def generate_batch(
             if dec.cfg_pretrained:
                 uncond_x = np.full_like(x, cfg.text_vocab_size - 1)
             else:
+                # range INCLUDES the pad id, matching the reference exactly
+                # (models/ssr.py:574 randint over text_vocab_size + 1)
                 uncond_x = np.asarray(jax.random.randint(
                     jax.random.fold_in(rng, 7), x.shape, 0, cfg.n_text_tokens))
         x_rows = [x, uncond_x]  # prompt cache built once per group
@@ -594,6 +593,10 @@ def generate_batch(
     cap_total = dec.max_gen_per_span * num_task
     sx_pad = _bucket(max(x_len, 1), x_bucket)
     p_pad = _bucket(max(p_len, 1), prefix_bucket)
+    gen_bound = p_len + min(cap_total,
+                            max(x_len * dec.length_cap_mult - p_len, 0)
+                            + num_task * (K + 2))
+    _check_positions(cfg, max(sx_pad, p_pad), gen_bound, "generate_batch")
     xb_padded = np.full((xb.shape[0], sx_pad), cfg.text_pad_token, np.int32)
     xb_padded[:, :x_len] = xb
     prefix_padded = np.full((K, p_pad), ts.empty, np.int32)
@@ -618,21 +621,8 @@ def generate_batch(
     out = np.asarray(out)
     span_end = np.asarray(span_end)
 
-    results = []
-    for s in range(n_samples):
-        gen_spans = []
-        start = 0
-        for i in range(num_task):
-            end = max(int(span_end[s, i]), start)
-            span = out[s, :, start:end]
-            start = end
-            if span.shape[1] >= K:
-                gen_spans.append(patterns.revert_delay_pattern(span)[:, :-1])
-            else:
-                gen_spans.append(np.zeros((K, 0), np.int32))
-        codes, marks, out_iv = patterns.splice_generated(y, nm, gen_spans, y.shape[1])
-        results.append((codes, marks, out_iv, nm))
-    return results
+    return [assemble_result(y, nm, out[s], span_end[s], num_task, K)
+            for s in range(n_samples)]
 
 
 @functools.partial(
@@ -807,19 +797,8 @@ def generate(
     out = np.asarray(out)
     span_end = np.asarray(span_end)
 
-    # host-side: split per span, revert delay pattern, strip eog
-    gen_spans: List[np.ndarray] = []
-    start = 0
-    for i in range(num_task):
-        end = max(int(span_end[i]), start)
-        span = out[:, start:end]
-        start = end
-        if span.shape[1] >= K:
-            unshifted = patterns.revert_delay_pattern(span)[:, :-1]  # drop eog
-        else:  # cap hit before the span produced its EOG cascade
-            unshifted = np.zeros((K, 0), np.int32)
-        gen_spans.append(unshifted)
-    codes, marks, out_intervals = patterns.splice_generated(y, nm, gen_spans, y.shape[1])
+    codes, marks, out_intervals, nm = assemble_result(
+        y, nm, out, span_end, num_task, K)
     if out_len:  # trim the prepended context (reference models/ssr.py:806-810)
         codes = codes[:, :, out_len:]
         marks = marks[:, out_len:]
@@ -1104,9 +1083,7 @@ def _generate_multi_impl(
         done=jnp.zeros((S,), bool),
     )
 
-    grow = _grow_cache
-
-    final = _staged_while(cond_fn, body, init, gen_sizes, grow)
+    final = _staged_while(cond_fn, body, init, gen_sizes, _grow_cache)
     return final.out, final.span_end, final.out_len
 
 
@@ -1143,6 +1120,12 @@ def generate_multi(
     sx_pad = _bucket(max(max(len(b[0]) for b in built), 1), x_bucket)
     p_pad = _bucket(max(max(b[2].shape[1] for b in built), 1), prefix_bucket)
     cap_total = dec.max_gen_per_span * num_task
+    gen_bound = max(
+        b[2].shape[1] + min(cap_total,
+                            max(len(b[0]) * dec.length_cap_mult
+                                - b[2].shape[1], 0) + num_task * (K + 2))
+        for b in built)
+    _check_positions(cfg, max(sx_pad, p_pad), gen_bound, "generate_multi")
 
     prefixes = np.full((S, K, p_pad), ts.empty, np.int32)
     p_lens = np.zeros(S, np.int32)
