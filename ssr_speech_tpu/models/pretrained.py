@@ -28,6 +28,42 @@ MANDARIN_REPO = "westbrook/SSR-Speech-Mandarin"
 LM_FILENAME = "English.pth"
 CODEC_FILENAME = "wmencodec.th"
 
+# Expected SHA256 of the published checkpoint files, keyed by basename.
+# ``None`` = not yet recorded (this build environment has zero egress, so the
+# published files were never reachable); the first verified fetch should fill
+# these in via ``tools/validate_pretrained.py --record_sha``, after which every
+# subsequent fetch is integrity-checked before conversion.
+KNOWN_SHA256: Dict[str, Optional[str]] = {
+    "English.pth": None,
+    "Mandarin.pth": None,
+    "wmencodec.th": None,
+}
+
+
+def file_sha256(path: str, chunk: int = 1 << 20) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def _verify_sha256(path: str, expected: Optional[str]) -> None:
+    if expected is None:
+        expected = KNOWN_SHA256.get(os.path.basename(path))
+    if expected is None:
+        return  # nothing recorded yet — see KNOWN_SHA256 note
+    got = file_sha256(path)
+    if got != expected:
+        raise ValueError(
+            f"checkpoint SHA256 mismatch for {path}: expected {expected}, "
+            f"got {got} — corrupted download or wrong file")
+
 
 def _cache_dir(cache_dir: Optional[str] = None) -> str:
     d = cache_dir or os.environ.get(
@@ -41,6 +77,7 @@ def fetch_checkpoint(
     file_or_url_or_id: str,
     filename: Optional[str] = None,
     cache_dir: Optional[str] = None,
+    sha256: Optional[str] = None,
 ) -> str:
     """Resolve a checkpoint reference to a local path
     (reference loaders.py:39-65 semantics, minus torch coupling):
@@ -50,7 +87,20 @@ def fetch_checkpoint(
       - ``https://...`` -> downloaded once into the cache dir,
       - anything else -> HF hub repo id; needs ``filename`` and the
         ``huggingface_hub`` package (network access).
+
+    When a SHA256 is known (``sha256`` arg or the ``KNOWN_SHA256`` registry),
+    the resolved file is integrity-checked before being returned.
     """
+    path = _resolve_checkpoint(file_or_url_or_id, filename, cache_dir)
+    _verify_sha256(path, sha256)
+    return path
+
+
+def _resolve_checkpoint(
+    file_or_url_or_id: str,
+    filename: Optional[str] = None,
+    cache_dir: Optional[str] = None,
+) -> str:
     ref = str(file_or_url_or_id)
     if os.path.isfile(ref):
         return ref

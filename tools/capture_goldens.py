@@ -19,7 +19,7 @@ Captured per BASELINE.md:
   4. zh editing, cfg_stride=1 (when Mandarin.pth is present),
   5. batched/watermark path: wmdecode waveform for config-3's splice.
 
-The companion gated test (tests/test_pretrained_goldens.py) replays the same
+The companion gated test (tests/test_pretrained.py (the gated replay tests)) replays the same
 inputs through the JAX implementation and asserts parity against these
 artifacts without needing torch at test time.
 """

@@ -2,7 +2,7 @@
 import time, sys
 import jax, jax.numpy as jnp, numpy as np
 sys.path.insert(0,'/root/repo')
-from ssr_speech_tpu.ops import int8_matmul as m
+import int8_matmul as m
 rng = np.random.default_rng(0)
 D, F = 2048, 8192
 w = rng.normal(size=(D, F), scale=0.02).astype(np.float32)
