@@ -1,22 +1,111 @@
-"""Benchmark: real-time factor (RTF) of English TTS-style generation on one
-TPU chip — the BASELINE.md headline metric (target: >=5x real time per chip).
+"""Benchmark: the BASELINE.md protocol metrics on one TPU chip.
 
-Runs the flagship 830M SSR LM (z_scripts/e830M.sh geometry) with CFG batch
-[cond, uncond] and the compiled while-loop decoder, generating a fixed number
-of codec frames (eog disabled via a logit bias so the measured loop length is
-deterministic), then decodes frames to waveform with the wmencodec SEANet
-decoder. RTF = generated audio seconds / wall-clock seconds.
+Emits ONE JSON line with every clause of the BASELINE.json metric
+("RTF for en TTS **and editing**; waveform MAE vs reference codec"):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  - ``value``            en TTS RTF (audio sec generated / wall sec) — the
+                         headline; target >=5x per chip (BASELINE.md).
+  - ``edit_rtf``         en editing RTF: span-masked generation with
+                         aug_text + cfg_stride=5 + use_watermark — LM decode
+                         of the edited span plus the watermark splice decode
+                         of the full utterance (reference inference_v2.py
+                         editing mode; BASELINE.md configs 3/5). RTF counts
+                         generated (masked-span) audio seconds only.
+  - ``codec_mae``        wmencodec encode->decode round-trip waveform MAE vs
+                         the PyTorch reference with identical converted
+                         weights on demo/84_121550_000074_000000.wav
+                         (BASELINE.md config 1; target <1e-3). Needs torch +
+                         /root/reference; null when unavailable.
+  - ``aggregate_rtf_s8`` 8 seed-batched chains in one compiled loop.
+
+All LM runs use the flagship 830M geometry (z_scripts/e830M.sh) with CFG
+[cond, uncond] batching and the compiled while-loop decoder; EOG emission is
+bias-disabled so measured loop lengths are deterministic under random
+weights.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _codec_mae():
+    """JAX vs torch round-trip MAE with the same converted weights
+    (the computation of tests/test_codec_torch_parity.py::
+    test_roundtrip_mae_demo_wav_full_geometry, inlined so the driver bench
+    carries the number)."""
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from reference_loader import load_reference_modules, reference_available
+
+    if not reference_available():
+        return None, "reference tree not mounted"
+    from ssr_speech_tpu.config import CodecConfig
+    from ssr_speech_tpu.models import convert
+    from ssr_speech_tpu.models.codec import quantize as q
+    from ssr_speech_tpu.models.codec import seanet
+    from ssr_speech_tpu.utils import audio as audio_io
+
+    import jax
+
+    ref = load_reference_modules()
+    cfg = CodecConfig()
+    sn = cfg.seanet
+    torch.manual_seed(7)
+    kw = dict(channels=sn.channels, dimension=sn.dimension,
+              n_filters=sn.n_filters, n_residual_layers=sn.n_residual_layers,
+              ratios=list(sn.ratios), kernel_size=sn.kernel_size,
+              last_kernel_size=sn.last_kernel_size,
+              residual_kernel_size=sn.residual_kernel_size,
+              dilation_base=sn.dilation_base, norm=sn.norm,
+              pad_mode=sn.pad_mode, lstm=sn.lstm, causal=sn.causal,
+              compress=sn.compress)
+    enc = ref.seanet.SEANetEncoder(**kw).eval()
+    dec = ref.seanet.SEANetDecoder(**kw, trim_right_ratio=sn.trim_right_ratio).eval()
+    rvq = ref.vq.ResidualVectorQuantizer(
+        dimension=cfg.rvq.dimension, n_q=cfg.rvq.n_q, bins=cfg.rvq.bins,
+        kmeans_init=False).eval()
+
+    def sd(mod):
+        return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
+
+    ep = convert.convert_seanet_encoder(sd(enc), "", cfg)
+    dp = convert.convert_seanet_decoder(sd(dec), "", cfg)
+    embed = np.stack([sd(rvq)[f"vq.layers.{k}._codebook.embed"]
+                      for k in range(cfg.rvq.n_q)])
+    qp = dict(embed=embed)
+
+    wav = audio_io.load_for_codec(
+        "/root/reference/demo/84_121550_000074_000000.wav",
+        cfg.sample_rate, cfg.hop_length)
+    wav = wav[:, : 2 * cfg.sample_rate]  # 2 s bounds the torch CPU pass
+    x_t = torch.from_numpy(wav.transpose(0, 2, 1))
+    with torch.no_grad():
+        want_codes = rvq.encode(enc(x_t)).numpy()
+        want_wav = dec(rvq.decode(torch.from_numpy(want_codes))).numpy()
+
+    # fp32-accurate matmuls/convs on the CPU backend: the parity protocol
+    # compares against the torch float32 reference; TPU default precision
+    # rounds matmul inputs to bf16 (codes then disagree) and highest-precision
+    # TPU convs compile for minutes — this clause of the metric is a numerics
+    # check, not a speed one (tests/test_codec_torch_parity.py runs it the
+    # same way)
+    with jax.default_device(jax.devices("cpu")[0]), \
+            jax.default_matmul_precision("highest"):
+        got_lat = np.asarray(seanet.encode(ep, wav, cfg.seanet))
+        got_codes = np.asarray(q.rvq_encode(qp, got_lat))
+        if not np.array_equal(got_codes, want_codes):
+            return None, "codes not bit-exact"
+        got_wav = np.asarray(seanet.decode(dp, q.rvq_decode(qp, got_codes),
+                                           cfg.seanet))
+    return float(np.mean(np.abs(got_wav.transpose(0, 2, 1) - want_wav))), None
 
 
 def main():
@@ -82,9 +171,50 @@ def main():
     audio_sec = gen_frames / codec_cfg.frame_rate
     rtf = audio_sec / elapsed
 
-    # aggregate serving throughput: 8 seed-batched chains in ONE compiled
-    # loop over a shared prompt cache (the serving capability the reference
-    # lacks — it decodes seeds sequentially, inference_v2.py:331-337)
+    # ---- editing RTF (BASELINE.md config 3/5): 8 s utterance, regenerate a
+    # 4 s middle span with aug_text + CFG stride 5, then the watermark splice
+    # decode of the FULL utterance (wmdecode is the slowest codec op)
+    utt_frames = 400  # 8 s
+    span = (150, 350)  # 4 s edited
+    y_edit = rng.integers(0, ts.audio_vocab_size,
+                          size=(cfg.n_codebooks, utt_frames))
+    wav_orig = rng.normal(size=(1, utt_frames * codec_cfg.hop_length, 1)
+                          ).astype(np.float32) * 0.1
+    dec_edit = DecodeConfig(
+        aug_text=True, cfg_stride=5, cfg_coef=1.5, top_k=0, top_p=0.8,
+        temperature=1.0, stop_repetition=-1, cfg_pretrained=True,
+        max_gen_per_span=(span[1] - span[0]) + cfg.n_codebooks,
+        length_cap_mult=10_000,
+    )
+    hop = codec_cfg.hop_length
+
+    def run_edit(seed):
+        out_codes, marks, out_intervals, nm = dec_mod.generate(
+            params, cfg, dec_edit, x, y_edit, [span], jax.random.PRNGKey(seed),
+            tmax=1024, dtype_name="bfloat16",
+        )
+        # splice original samples into un-edited regions (pipeline.py:141-149)
+        new_wav = np.zeros((1, out_codes.shape[2] * hop, 1), np.float32)
+        for (os_, oe), (ns, ne) in zip(nm, out_intervals):
+            os_, ns = max(os_, 0), max(ns, 0)
+            seg = wav_orig[0, os_ * hop:oe * hop]
+            new_wav[0, ns * hop:ns * hop + seg.shape[0]] = seg
+        out, _ = wm.wmdecode(codec_params, jnp.asarray(out_codes),
+                             jnp.asarray(marks), jnp.asarray(new_wav),
+                             codec_cfg)
+        return np.asarray(out), marks
+
+    out, marks = run_edit(0)  # warmup/compile
+    gen_edit_frames = int(np.asarray(marks).sum())
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        out, marks = run_edit(i + 1)
+    elapsed_e = (time.perf_counter() - t0) / n_runs
+    edit_rtf = (gen_edit_frames / codec_cfg.frame_rate) / elapsed_e
+
+    # ---- aggregate serving throughput: 8 seed-batched chains in ONE
+    # compiled loop over a shared prompt cache (the serving capability the
+    # reference lacks — it decodes seeds sequentially, inference_v2.py:331-337)
     S = 8
 
     def run_batch(seed):
@@ -101,14 +231,26 @@ def main():
     elapsed_b = (time.perf_counter() - t0) / n_runs
     agg_rtf = S * audio_sec / elapsed_b
 
-    print(json.dumps({
+    # ---- codec round-trip MAE vs the torch reference (guarded)
+    try:
+        mae, mae_err = _codec_mae()
+    except Exception as e:  # never fail the bench on the torch side
+        mae, mae_err = None, f"{type(e).__name__}: {e}"
+
+    line = {
         "metric": "en TTS RTF (audio sec generated / wall sec, 830M LM + codec, CFG stride 5, 1 chip)",
         "value": round(rtf, 3),
         "unit": "x realtime",
         "vs_baseline": round(rtf / 5.0, 3),
+        "edit_rtf": round(edit_rtf, 3),
+        "edit_note": "4s span of 8s utt, aug_text cfg_stride=5, wmdecode splice of full utt",
+        "codec_mae": None if mae is None else round(mae, 8),
         "aggregate_rtf_s8": round(agg_rtf, 2),
         "aggregate_note": "8 seed-batched chains, shared prompt cache, one compiled loop",
-    }))
+    }
+    if mae_err:
+        line["codec_mae_note"] = mae_err
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
