@@ -80,21 +80,54 @@ def _staged_while(cond_fn, body, init, sizes, grow):
     return state
 
 
-class GenState(NamedTuple):
+class ChainState(NamedTuple):
+    """Vectorized per-chain decode state shared by EVERY decode variant
+    (single = 1 chain, seed-batched, multi-prompt; the continuous-batching
+    server extends it with slot fields). All chain fields are [S]-leading;
+    ``y_pos`` is a scalar when every chain shares positions (single/seed
+    paths) and [S] on the multi-prompt path."""
+
     cache: trf.KVCache
     key: jax.Array
-    y_pos: jnp.ndarray  # int32: audio position of the token being fed
-    next_tokens: jnp.ndarray  # [K] int32 token to feed this step
-    out: jnp.ndarray  # [K, CAP] sampled tokens, spans concatenated
-    out_len: jnp.ndarray  # int32
-    span_idx: jnp.ndarray  # int32
-    span_end: jnp.ndarray  # [MAX_SPANS] int32 out_len after each span
+    y_pos: jnp.ndarray
+    next_tokens: jnp.ndarray  # [S, K] int32 token to feed this step
+    out: jnp.ndarray  # [S, K, CAP] sampled tokens, spans concatenated
+    out_len: jnp.ndarray  # [S]
+    span_idx: jnp.ndarray  # [S]
+    span_end: jnp.ndarray  # [S, num_task] out_len after each span
     num_gen: jnp.ndarray
     num_eog: jnp.ndarray
     prev_token: jnp.ndarray
     consec_silence: jnp.ndarray
     num_cfg: jnp.ndarray
-    done: jnp.ndarray
+    done: jnp.ndarray  # [S] bool
+
+
+def _static_ban(ts):
+    """eos/sos/all-mask-sentinel column ban [1, 1, card]
+    (models/ssr.py:699-703), shared by every decode variant."""
+    cols = jnp.arange(ts.cardinality)[None, None, :]
+    return (cols == ts.eos) | (cols == ts.sos) | (
+        (cols >= ts.mts) & (cols < ts.mts + ts.max_n_spans))
+
+
+def _init_chain_state(cache, rng, y_pos0, sentinel_ids, S, K, num_task, ts,
+                      cap_total):
+    return ChainState(
+        cache=cache, key=rng,
+        y_pos=jnp.asarray(y_pos0, jnp.int32),
+        next_tokens=jnp.broadcast_to(sentinel_ids[0], (S, K)).astype(jnp.int32),
+        out=jnp.full((S, K, cap_total), ts.empty, jnp.int32),
+        out_len=jnp.zeros((S,), jnp.int32),
+        span_idx=jnp.zeros((S,), jnp.int32),
+        span_end=jnp.zeros((S, num_task), jnp.int32),
+        num_gen=jnp.zeros((S,), jnp.int32),
+        num_eog=jnp.zeros((S,), jnp.int32),
+        prev_token=jnp.full((S,), -1, jnp.int32),
+        consec_silence=jnp.zeros((S,), jnp.int32),
+        num_cfg=jnp.ones((S,), jnp.int32),
+        done=jnp.zeros((S,), bool),
+    )
 
 
 def _embed_step_tokens(params, cfg: SSRModelConfig, tokens: jnp.ndarray,
@@ -133,140 +166,33 @@ def _generate_impl(
     dtype = jnp.dtype(dtype_name)
     K = cfg.n_codebooks
     ts = cfg.tokens
-    card = ts.cardinality
     batch = cache.k.shape[1]
     pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
-    rows = jnp.arange(K)[:, None]  # [K,1] codebook index
-    cols = jnp.arange(card)[None, :]
     silence = jnp.asarray(dec.silence_tokens, jnp.int32)
     length_cap = x_len * dec.length_cap_mult
+    static_ban = _static_ban(ts)
 
-    # static ban: eos, sos, all mask sentinels (models/ssr.py:699-703)
-    static_ban = (cols == ts.eos) | (cols == ts.sos) | (
-        (cols >= ts.mts) & (cols < ts.mts + ts.max_n_spans)
-    )
+    def cond(s: ChainState, size):
+        return ((~jnp.all(s.done)) & (jnp.max(s.out_len) < cap_total)
+                & (s.cache.length < size))
 
-    def cond(s: GenState, size):
-        return (~s.done) & (s.out_len < cap_total) & (s.cache.length < size)
-
-    def body(s: GenState):
+    def body(s: ChainState):
         key, k_samp = jax.random.split(s.key)
-        h = _embed_step_tokens(params, cfg, s.next_tokens, pe, s.y_pos, batch, dtype)
+        h = _embed_step_tokens(params, cfg, s.next_tokens[0], pe, s.y_pos,
+                               batch, dtype)
         out_h, cache = trf.transformer_decode_step(
             params["decoder"], h, s.cache, key_banned, cfg, dtype=dtype,
         )
         logits = ssr_model.predict_logits(params, out_h)  # [B, K, card] f32
+        lg, num_cfg = _mix_cfg(logits, s, dec, 1, aug_text)
+        upd = _advance_chains(
+            s, lg, k_samp, num_cfg, ts=ts, dec=dec, num_task=num_task,
+            length_cap=length_cap, n_tasks=num_task,
+            sentinel_ids=sentinel_ids, static_ban=static_ban, silence=silence)
+        return ChainState(cache=cache, key=key, **upd)
 
-        if aug_text:
-            do_mix = s.num_cfg == dec.cfg_stride
-            mixed = dec.cfg_coef * logits[0] + (1.0 - dec.cfg_coef) * logits[1]
-            lg = jnp.where(do_mix, mixed, logits[0])
-            num_cfg = jnp.where(do_mix, 1, s.num_cfg + 1)
-        else:
-            lg = logits[0]
-            num_cfg = s.num_cfg
-
-        # --- logit surgery (models/ssr.py:699-730) ---
-        lg = jnp.where(static_ban, NEG, lg)
-        # force empty for codebooks not yet started in the delay pattern
-        force_empty = (rows > s.num_gen) & (cols == ts.empty)
-        lg = jnp.where(force_empty, POS, lg)
-        in_cascade = s.num_eog > 0
-        # cascade active: rows above the cascade row must not emit eog/empty
-        casc_ban = in_cascade & (rows > s.num_eog) & ((cols == ts.eog) | (cols == ts.empty))
-        # cascade inactive: codebooks 1..K-1 must not emit eog
-        noeog_ban = (~in_cascade) & (rows >= 1) & (cols == ts.eog)
-        lg = jnp.where(casc_ban | noeog_ban, NEG, lg)
-        # silence-repetition penalty on codebook 0 (models/ssr.py:726-730)
-        if dec.stop_repetition > 0:
-            is_silence_prev = jnp.any(silence == s.prev_token)
-            apply_pen = (~in_cascade) & is_silence_prev & (
-                s.consec_silence > dec.stop_repetition
-            )
-            factor = (s.consec_silence - (dec.stop_repetition - 1)).astype(jnp.float32)
-            prev_logit = lg[0, s.prev_token]
-            pen = jnp.where(prev_logit < 0, prev_logit * factor, prev_logit / factor)
-            lg = lg.at[0, s.prev_token].set(jnp.where(apply_pen, pen, prev_logit))
-
-        # --- sample (models/ssr.py:713,732) ---
-        lgt = lg / dec.temperature if dec.temperature != 1.0 else lg
-        lgt = top_k_top_p_filter(lgt, top_k=dec.top_k, top_p=dec.top_p)
-        samples = jax.random.categorical(k_samp, lgt, axis=-1).astype(jnp.int32)  # [K]
-
-        # --- EOG bookkeeping ---
-        row_ids = jnp.arange(K)
-        # cascade-active overrides (models/ssr.py:716-719)
-        casc_samples = jnp.where(row_ids < s.num_eog, ts.empty, samples)
-        casc_samples = jnp.where(row_ids == s.num_eog, ts.eog, casc_samples)
-        # cascade-inactive trigger (models/ssr.py:738-742) plus a per-span
-        # hard cap (ours: guarantees termination within max_gen_per_span)
-        too_long = (s.y_pos + 1) > length_cap
-        span_cap = s.num_gen >= (dec.max_gen_per_span - K)
-        trigger = (
-            (samples[0] == ts.eog) | (jnp.argmax(lg[0]) == ts.eog)
-            | too_long | span_cap
-        )
-        plain_samples = samples.at[0].set(jnp.where(trigger, ts.eog, samples[0]))
-
-        new_samples = jnp.where(in_cascade, casc_samples, plain_samples)
-        num_eog = jnp.where(
-            in_cascade, s.num_eog + 1, jnp.where(trigger, 1, 0)
-        )
-        # silence counters only updated outside the cascade (models/ssr.py:744-748)
-        s0 = plain_samples[0]
-        is_sil = jnp.any(silence == s0) & (s0 == s.prev_token)
-        consec = jnp.where(
-            in_cascade, s.consec_silence, jnp.where(is_sil, s.consec_silence + 1, 0)
-        )
-        prev = jnp.where(in_cascade, s.prev_token, s0)
-
-        out = jax.lax.dynamic_update_slice(s.out, new_samples[:, None], (0, s.out_len))
-        out_len = s.out_len + 1
-        num_gen = s.num_gen + 1
-
-        # --- span transition ---
-        span_done = num_eog == K
-        span_end = jnp.where(
-            span_done,
-            s.span_end.at[s.span_idx].set(out_len),
-            s.span_end,
-        )
-        span_idx = jnp.where(span_done, s.span_idx + 1, s.span_idx)
-        all_done = span_done & (span_idx >= num_task)
-        next_sentinel = jnp.full(
-            (K,), 0, jnp.int32
-        ) + sentinel_ids[jnp.minimum(span_idx, num_task - 1)]
-        next_tokens = jnp.where(span_done, next_sentinel, new_samples)
-        num_gen = jnp.where(span_done, 0, num_gen)
-        num_eog = jnp.where(span_done, 0, num_eog)
-        prev = jnp.where(span_done, -1, prev)
-        consec = jnp.where(span_done, 0, consec)
-        num_cfg = jnp.where(span_done, 1, num_cfg)
-
-        return GenState(
-            cache=cache, key=key, y_pos=s.y_pos + 1, next_tokens=next_tokens,
-            out=out, out_len=out_len, span_idx=span_idx, span_end=span_end,
-            num_gen=num_gen, num_eog=num_eog, prev_token=prev,
-            consec_silence=consec, num_cfg=num_cfg, done=all_done,
-        )
-
-    init = GenState(
-        cache=cache,
-        key=rng,
-        # audio position of the first fed token = true prefix length
-        y_pos=jnp.asarray(y_pos0, jnp.int32),
-        next_tokens=jnp.full((K,), 0, jnp.int32) + sentinel_ids[0],
-        out=jnp.full((K, cap_total), cfg.tokens.empty, jnp.int32),
-        out_len=jnp.asarray(0, jnp.int32),
-        span_idx=jnp.asarray(0, jnp.int32),
-        span_end=jnp.zeros((num_task,), jnp.int32),
-        num_gen=jnp.asarray(0, jnp.int32),
-        num_eog=jnp.asarray(0, jnp.int32),
-        prev_token=jnp.asarray(-1, jnp.int32),
-        consec_silence=jnp.asarray(0, jnp.int32),
-        num_cfg=jnp.asarray(1, jnp.int32),
-        done=jnp.asarray(False),
-    )
+    init = _init_chain_state(cache, rng, y_pos0, sentinel_ids, 1, K,
+                             num_task, ts, cap_total)
 
     # telescoping cache: the prefill allocated only the smallest stage that
     # holds [x ; prefix]; grow toward tmax_total as generation proceeds
@@ -275,7 +201,7 @@ def _generate_impl(
         s for s in trf.cache_stage_sizes(total) if s > cache.max_len]
 
     final = _staged_while(cond, body, init, sizes, _grow_cache)
-    return final.out, final.span_end, final.out_len
+    return final.out[0], final.span_end[0], final.out_len[0]
 
 
 @functools.partial(
@@ -316,36 +242,14 @@ def _generate_batched_impl(
     S = n_samples
     K = cfg.n_codebooks
     ts = cfg.tokens
-    card = ts.cardinality
     n_groups = pfx.k.shape[1]
     batch = n_groups * S
     gen_sizes = trf.cache_stage_sizes(_bucket(cap_total + 8, 128))
     gen0 = trf.init_kv_cache(cfg, batch, gen_sizes[0], dtype=pfx.k.dtype)
     pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
-    rows = jnp.arange(K)[None, :, None]  # [1,K,1]
-    cols = jnp.arange(card)[None, None, :]
     silence = jnp.asarray(dec.silence_tokens, jnp.int32)
     length_cap = x_len * dec.length_cap_mult
-
-    static_ban = (cols == ts.eos) | (cols == ts.sos) | (
-        (cols >= ts.mts) & (cols < ts.mts + ts.max_n_spans)
-    )
-
-    class _S(NamedTuple):
-        cache: trf.KVCache
-        key: jax.Array
-        y_pos: jnp.ndarray  # scalar (all chains share positions)
-        next_tokens: jnp.ndarray  # [S, K]
-        out: jnp.ndarray  # [S, K, CAP]
-        out_len: jnp.ndarray  # [S]
-        span_idx: jnp.ndarray  # [S]
-        span_end: jnp.ndarray  # [S, num_task]
-        num_gen: jnp.ndarray  # [S]
-        num_eog: jnp.ndarray  # [S]
-        prev_token: jnp.ndarray  # [S]
-        consec_silence: jnp.ndarray  # [S]
-        num_cfg: jnp.ndarray  # [S]
-        done: jnp.ndarray  # [S] bool
+    static_ban = _static_ban(ts)
 
     def embed_rows(tokens, y_pos):
         embs = params["audio_emb"]
@@ -369,109 +273,15 @@ def _generate_batched_impl(
             n_groups=n_groups, dtype=dtype,
         )
         logits = ssr_model.predict_logits(params, out_h)  # [B, K, card]
-        if aug_text:
-            cond_l, uncond_l = logits[:S], logits[S:]
-            do_mix = (s.num_cfg == dec.cfg_stride)[:, None, None]
-            mixed = dec.cfg_coef * cond_l + (1.0 - dec.cfg_coef) * uncond_l
-            lg = jnp.where(do_mix, mixed, cond_l)  # [S, K, C]
-            num_cfg = jnp.where(s.num_cfg == dec.cfg_stride, 1, s.num_cfg + 1)
-        else:
-            lg = logits
-            num_cfg = s.num_cfg
+        lg, num_cfg = _mix_cfg(logits, s, dec, S, aug_text)
+        upd = _advance_chains(
+            s, lg, k_samp, num_cfg, ts=ts, dec=dec, num_task=num_task,
+            length_cap=length_cap, n_tasks=num_task,
+            sentinel_ids=sentinel_ids, static_ban=static_ban, silence=silence)
+        return ChainState(cache=cache, key=key, **upd)
 
-        lg = jnp.where(static_ban, NEG, lg)
-        force_empty = (rows > s.num_gen[:, None, None]) & (cols == ts.empty)
-        lg = jnp.where(force_empty, POS, lg)
-        in_cascade = (s.num_eog > 0)[:, None, None]
-        casc_ban = in_cascade & (rows > s.num_eog[:, None, None]) & (
-            (cols == ts.eog) | (cols == ts.empty))
-        noeog_ban = (~in_cascade) & (rows >= 1) & (cols == ts.eog)
-        lg = jnp.where(casc_ban | noeog_ban, NEG, lg)
-        if dec.stop_repetition > 0:
-            is_sil_prev = jnp.any(silence[None, :] == s.prev_token[:, None], axis=1)
-            apply_pen = (s.num_eog == 0) & is_sil_prev & (
-                s.consec_silence > dec.stop_repetition)
-            factor = (s.consec_silence - (dec.stop_repetition - 1)).astype(jnp.float32)
-            srow = jnp.arange(S)
-            prev_ix = jnp.clip(s.prev_token, 0, card - 1)
-            prev_logit = lg[srow, 0, prev_ix]
-            pen = jnp.where(prev_logit < 0, prev_logit * factor, prev_logit / factor)
-            lg = lg.at[srow, 0, prev_ix].set(jnp.where(apply_pen, pen, prev_logit))
-
-        lgt = lg / dec.temperature if dec.temperature != 1.0 else lg
-        lgt = top_k_top_p_filter(lgt, top_k=dec.top_k, top_p=dec.top_p)
-        samples = jax.random.categorical(k_samp, lgt, axis=-1).astype(jnp.int32)  # [S, K]
-
-        row_ids = jnp.arange(K)[None, :]
-        casc_samples = jnp.where(row_ids < s.num_eog[:, None], ts.empty, samples)
-        casc_samples = jnp.where(row_ids == s.num_eog[:, None], ts.eog, casc_samples)
-        too_long = (s.y_pos + 1) > length_cap
-        span_cap = s.num_gen >= (dec.max_gen_per_span - K)
-        argmax0 = jnp.argmax(lg[:, 0], axis=-1)
-        trigger = (samples[:, 0] == ts.eog) | (argmax0 == ts.eog) | too_long | span_cap
-        plain = samples.at[:, 0].set(jnp.where(trigger, ts.eog, samples[:, 0]))
-        in_casc1 = s.num_eog > 0
-        new_samples = jnp.where(in_casc1[:, None], casc_samples, plain)
-        num_eog = jnp.where(in_casc1, s.num_eog + 1, jnp.where(trigger, 1, 0))
-        s0 = plain[:, 0]
-        is_sil = jnp.any(silence[None, :] == s0[:, None], axis=1) & (s0 == s.prev_token)
-        consec = jnp.where(in_casc1, s.consec_silence,
-                           jnp.where(is_sil, s.consec_silence + 1, 0))
-        prev = jnp.where(in_casc1, s.prev_token, s0)
-
-        # frozen chains keep their previous values
-        active = ~s.done
-        write_samples = jnp.where(active[:, None], new_samples, ts.empty)
-        # scatter each chain's column at its own out_len
-        srow = jnp.arange(S)
-        out = s.out.at[srow[:, None], jnp.arange(K)[None, :],
-                       s.out_len[:, None]].set(
-            jnp.where(active[:, None], write_samples, s.out[srow[:, None],
-                      jnp.arange(K)[None, :], s.out_len[:, None]]))
-        out_len = jnp.where(active, s.out_len + 1, s.out_len)
-        num_gen = jnp.where(active, s.num_gen + 1, s.num_gen)
-
-        span_done = active & (num_eog == K)
-        span_end = jnp.where(
-            span_done[:, None]
-            & (jnp.arange(num_task)[None, :] == s.span_idx[:, None]),
-            out_len[:, None], s.span_end,
-        )
-        span_idx = jnp.where(span_done, s.span_idx + 1, s.span_idx)
-        done = s.done | (span_done & (span_idx >= num_task))
-        next_sent = sentinel_ids[jnp.minimum(span_idx, num_task - 1)]
-        next_tokens = jnp.where(span_done[:, None],
-                                jnp.broadcast_to(next_sent[:, None], (S, K)),
-                                new_samples)
-        num_gen = jnp.where(span_done, 0, num_gen)
-        num_eog = jnp.where(span_done, 0, num_eog)
-        num_eog = jnp.where(s.done, s.num_eog, num_eog)
-        prev = jnp.where(span_done, -1, jnp.where(s.done, s.prev_token, prev))
-        consec = jnp.where(span_done, 0, jnp.where(s.done, s.consec_silence, consec))
-        num_cfg = jnp.where(span_done, 1, jnp.where(s.done, s.num_cfg, num_cfg))
-        next_tokens = jnp.where(s.done[:, None], s.next_tokens, next_tokens)
-
-        return _S(cache=cache, key=key, y_pos=s.y_pos + 1,
-                  next_tokens=next_tokens, out=out, out_len=out_len,
-                  span_idx=span_idx, span_end=span_end, num_gen=num_gen,
-                  num_eog=num_eog, prev_token=prev, consec_silence=consec,
-                  num_cfg=num_cfg, done=done)
-
-    init = _S(
-        cache=gen0, key=rng,
-        y_pos=jnp.asarray(y_pos0, jnp.int32),
-        next_tokens=jnp.broadcast_to(sentinel_ids[0], (S, K)).astype(jnp.int32),
-        out=jnp.full((S, K, cap_total), ts.empty, jnp.int32),
-        out_len=jnp.zeros((S,), jnp.int32),
-        span_idx=jnp.zeros((S,), jnp.int32),
-        span_end=jnp.zeros((S, num_task), jnp.int32),
-        num_gen=jnp.zeros((S,), jnp.int32),
-        num_eog=jnp.zeros((S,), jnp.int32),
-        prev_token=jnp.full((S,), -1, jnp.int32),
-        consec_silence=jnp.zeros((S,), jnp.int32),
-        num_cfg=jnp.ones((S,), jnp.int32),
-        done=jnp.zeros((S,), bool),
-    )
+    init = _init_chain_state(gen0, rng, y_pos0, sentinel_ids, S, K,
+                             num_task, ts, cap_total)
 
     final = _staged_while(cond_fn, body, init, gen_sizes, _grow_cache)
     return final.out, final.span_end, final.out_len
@@ -503,15 +313,18 @@ def _check_positions(cfg: SSRModelConfig, prefill_need: int, gen_max: int,
 
 
 def build_text_rows(xs, sx_pad: int, cfg: SSRModelConfig, dec: DecodeConfig,
-                    uncond_rng):
+                    uncond_rng, uncond_xs=None):
     """Pad conditional text rows and, under CFG, append the uncond rows.
 
     xs: list of 1-D int arrays. Returns (xb [R, sx_pad], x_lens_r [R]) with
     R = len(xs) (or 2x under aug_text). cfg_pretrained uses the reserved
     token over each row's true length (``models/ssr.py:584-588``); otherwise
     rows are random text drawn from ``uncond_rng`` (fresh per run, as the
-    reference samples them). Shared by :func:`generate_multi` and the
-    continuous-batching server so their prompt construction cannot drift."""
+    reference samples them), unless explicit ``uncond_xs`` rows are given
+    (torch-parity tests replay the reference's draw). Shared by EVERY decode
+    front-end — :func:`generate`, :func:`generate_batch`,
+    :func:`generate_multi` and the continuous-batching server — so their
+    prompt construction cannot drift."""
     S = len(xs)
     x_rows = np.full((S, sx_pad), cfg.text_pad_token, np.int32)
     x_lens = np.zeros(S, np.int32)
@@ -520,7 +333,11 @@ def build_text_rows(xs, sx_pad: int, cfg: SSRModelConfig, dec: DecodeConfig,
         x_lens[i] = len(x)
     if not dec.aug_text:
         return x_rows, x_lens
-    if dec.cfg_pretrained:
+    if uncond_xs is not None:
+        uncond = np.full((S, sx_pad), cfg.text_pad_token, np.int32)
+        for i, u in enumerate(uncond_xs):
+            uncond[i, : len(u)] = u
+    elif dec.cfg_pretrained:
         uncond = np.full((S, sx_pad), cfg.text_pad_token, np.int32)
         for i in range(S):
             uncond[i, : x_lens[i]] = cfg.text_vocab_size - 1
@@ -533,18 +350,37 @@ def build_text_rows(xs, sx_pad: int, cfg: SSRModelConfig, dec: DecodeConfig,
             np.concatenate([x_lens, x_lens]))
 
 
-def _check_no_aug_context(dec: DecodeConfig, mask_intervals, where: str):
-    """The batched/served paths do not implement the aug_context prepend.
-    Like the reference, the flag only ACTIVATES when the masked content is
-    short (< 2 s, models/ssr.py:565-568), so it is a legitimate no-op for
-    long spans — but a short span with the flag set must fail loudly rather
-    than silently decode without context (use :func:`generate`)."""
+def _apply_aug_context(dec: DecodeConfig, x, y, mask_intervals,
+                       prompt_x, prompt_y):
+    """aug_context prepend (reference models/ssr.py:563-593): when the flag
+    is set AND the total masked content is shorter than 2 s (100 codec
+    frames) AND a prompt is supplied, prepend the prompt audio+text as extra
+    context. Returns (x, y, mask_intervals, trim_frames); the caller trims
+    ``trim_frames`` codec frames off the assembled outputs
+    (:func:`_trim_context`). Shared by every decode front-end."""
+    mask_intervals = list(mask_intervals)
     context_len = sum(e - s for s, e in mask_intervals)
-    if dec.aug_context and context_len < 2 * dec.codec_sr:
-        raise NotImplementedError(
-            f"{where}: aug_context would activate for this short span "
-            f"({context_len} frames); it is only implemented on the "
-            "single-sample decode.generate path")
+    if not (dec.aug_context and context_len < 2 * dec.codec_sr):
+        return x, y, mask_intervals, 0
+    if prompt_x is None or prompt_y is None or not np.asarray(prompt_x).size:
+        return x, y, mask_intervals, 0
+    prompt_y = np.asarray(prompt_y, np.int32)
+    trim = prompt_y.shape[1]
+    y = np.concatenate([prompt_y, y], axis=1)
+    x = np.concatenate([np.asarray(prompt_x, np.int32), x])
+    mask_intervals = [(s + trim, e + trim) for s, e in mask_intervals]
+    return x, y, mask_intervals, trim
+
+
+def _trim_context(result, trim: int):
+    """Drop the prepended aug_context frames from an assembled result
+    (reference models/ssr.py:806-810)."""
+    if not trim:
+        return result
+    codes, marks, out_iv, nm = result
+    return (codes[:, :, trim:], marks[:, trim:],
+            [(s - trim, e - trim) for s, e in out_iv],
+            [(s - trim, e - trim) for s, e in nm])
 
 
 def generate_batch(
@@ -558,6 +394,8 @@ def generate_batch(
     n_samples: int,
     *,
     uncond_x: Optional[np.ndarray] = None,
+    prompt_x: Optional[np.ndarray] = None,
+    prompt_y: Optional[np.ndarray] = None,
     tmax: Optional[int] = None,
     dtype_name: str = "bfloat16",
     x_bucket: int = 64,
@@ -565,28 +403,17 @@ def generate_batch(
 ) -> List[Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]], List[Tuple[int, int]]]]:
     """Generate ``n_samples`` independent sampling chains for one prompt in a
     single compiled loop. Returns a list of per-chain (codes, marks,
-    out_intervals, nm_intervals), same contract as :func:`generate`."""
+    out_intervals, nm_intervals), same contract as :func:`generate` —
+    including the aug_context prepend for short spans when
+    ``prompt_x``/``prompt_y`` are supplied."""
     ts = cfg.tokens
     K = cfg.n_codebooks
     x = np.asarray(x, np.int32)
     y = np.asarray(y, np.int32)
-    _check_no_aug_context(dec, mask_intervals, "generate_batch")
+    x, y, mask_intervals, trim = _apply_aug_context(
+        dec, x, y, mask_intervals, prompt_x, prompt_y)
     prefix, _, num_task, nm = patterns.build_inference_prefix(y, mask_intervals, ts)
     sentinels = np.arange(ts.mts, ts.mts + ts.max_n_spans, dtype=np.int32)
-
-    if dec.aug_text:
-        if uncond_x is None:
-            if dec.cfg_pretrained:
-                uncond_x = np.full_like(x, cfg.text_vocab_size - 1)
-            else:
-                # range INCLUDES the pad id, matching the reference exactly
-                # (models/ssr.py:574 randint over text_vocab_size + 1)
-                uncond_x = np.asarray(jax.random.randint(
-                    jax.random.fold_in(rng, 7), x.shape, 0, cfg.n_text_tokens))
-        x_rows = [x, uncond_x]  # prompt cache built once per group
-    else:
-        x_rows = [x]
-    xb = np.stack(x_rows, axis=0)
 
     x_len = int(x.shape[0])
     p_len = int(prefix.shape[1])
@@ -597,8 +424,9 @@ def generate_batch(
                             max(x_len * dec.length_cap_mult - p_len, 0)
                             + num_task * (K + 2))
     _check_positions(cfg, max(sx_pad, p_pad), gen_bound, "generate_batch")
-    xb_padded = np.full((xb.shape[0], sx_pad), cfg.text_pad_token, np.int32)
-    xb_padded[:, :x_len] = xb
+    xb_padded, _ = build_text_rows(
+        [x], sx_pad, cfg, dec, jax.random.fold_in(rng, 7),
+        uncond_xs=None if uncond_x is None else [uncond_x])
     prefix_padded = np.full((K, p_pad), ts.empty, np.int32)
     prefix_padded[:, :p_len] = prefix
     if tmax is None:
@@ -621,7 +449,8 @@ def generate_batch(
     out = np.asarray(out)
     span_end = np.asarray(span_end)
 
-    return [assemble_result(y, nm, out[s], span_end[s], num_task, K)
+    return [_trim_context(
+        assemble_result(y, nm, out[s], span_end[s], num_task, K), trim)
             for s in range(n_samples)]
 
 
@@ -722,37 +551,13 @@ def generate(
     K = cfg.n_codebooks
     x = np.asarray(x, np.int32)
     y = np.asarray(y, np.int32)
-
-    context_len = sum(e - s for s, e in mask_intervals)
-    out_len = 0
-    if (
-        dec.aug_context and context_len < 2 * dec.codec_sr
-        and prompt_x is not None and prompt_y is not None and prompt_x.size
-    ):
-        prompt_y = np.asarray(prompt_y, np.int32)
-        out_len = prompt_y.shape[1]
-        y = np.concatenate([prompt_y, y], axis=1)
-        x = np.concatenate([np.asarray(prompt_x, np.int32), x])
-        mask_intervals = [(s + out_len, e + out_len) for s, e in mask_intervals]
+    x, y, mask_intervals, trim = _apply_aug_context(
+        dec, x, y, mask_intervals, prompt_x, prompt_y)
 
     prefix, mask_positions, num_task, nm = patterns.build_inference_prefix(
         y, mask_intervals, ts
     )
     sentinels = np.arange(ts.mts, ts.mts + ts.max_n_spans, dtype=np.int32)
-
-    if dec.aug_text:
-        if uncond_x is None:
-            if dec.cfg_pretrained:
-                uncond_x = np.full_like(x, cfg.text_vocab_size - 1)
-            else:
-                uncond_x = np.asarray(
-                    jax.random.randint(
-                        jax.random.fold_in(rng, 7), x.shape, 0, cfg.n_text_tokens
-                    )
-                )
-        xb = np.stack([x, uncond_x], axis=0)
-    else:
-        xb = x[None]
 
     x_len = int(x.shape[0])
     p_len = int(prefix.shape[1])
@@ -768,8 +573,9 @@ def generate(
                             max(x_len * dec.length_cap_mult - p_len, 0)
                             + num_task * (K + 2))
     _check_positions(cfg, max(sx_pad, p_pad), gen_bound, "generate")
-    xb_padded = np.full((xb.shape[0], sx_pad), cfg.text_pad_token, np.int32)
-    xb_padded[:, :x_len] = xb
+    xb_padded, _ = build_text_rows(
+        [x], sx_pad, cfg, dec, jax.random.fold_in(rng, 7),
+        uncond_xs=None if uncond_x is None else [uncond_x])
     prefix_padded = np.full((K, p_pad), ts.empty, np.int32)
     prefix_padded[:, :p_len] = prefix
 
@@ -797,14 +603,8 @@ def generate(
     out = np.asarray(out)
     span_end = np.asarray(span_end)
 
-    codes, marks, out_intervals, nm = assemble_result(
-        y, nm, out, span_end, num_task, K)
-    if out_len:  # trim the prepended context (reference models/ssr.py:806-810)
-        codes = codes[:, :, out_len:]
-        marks = marks[:, out_len:]
-        out_intervals = [(s - out_len, e - out_len) for s, e in out_intervals]
-        nm = [(s - out_len, e - out_len) for s, e in nm]
-    return codes, marks, out_intervals, nm
+    return _trim_context(assemble_result(y, nm, out, span_end, num_task, K),
+                         trim)
 
 
 # --------------------------------------------------------------- multi-prompt
@@ -1010,33 +810,13 @@ def _generate_multi_impl(
     S = n_prompts
     K = cfg.n_codebooks
     ts = cfg.tokens
-    card = ts.cardinality
     pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
-    cols = jnp.arange(card)[None, None, :]
     silence = jnp.asarray(dec.silence_tokens, jnp.int32)
     length_cap = x_lens * dec.length_cap_mult  # [S]
     gen_sizes = trf.cache_stage_sizes(_bucket(cap_total + 8, 128))
     gen0 = trf.init_kv_cache(
         cfg, S * (2 if aug_text else 1), gen_sizes[0], dtype=pfx.k.dtype)
-
-    static_ban = (cols == ts.eos) | (cols == ts.sos) | (
-        (cols >= ts.mts) & (cols < ts.mts + ts.max_n_spans))
-
-    class _S(NamedTuple):
-        cache: trf.KVCache
-        key: jax.Array
-        y_pos: jnp.ndarray  # [S] per-chain audio position of the fed token
-        next_tokens: jnp.ndarray  # [S, K]
-        out: jnp.ndarray
-        out_len: jnp.ndarray
-        span_idx: jnp.ndarray
-        span_end: jnp.ndarray
-        num_gen: jnp.ndarray
-        num_eog: jnp.ndarray
-        prev_token: jnp.ndarray
-        consec_silence: jnp.ndarray
-        num_cfg: jnp.ndarray
-        done: jnp.ndarray
+    static_ban = _static_ban(ts)
 
     def embed_rows(tokens, y_pos):
         embs = params["audio_emb"]
@@ -1065,23 +845,10 @@ def _generate_multi_impl(
             s, lg, k_samp, num_cfg, ts=ts, dec=dec, num_task=num_task,
             length_cap=length_cap, n_tasks=n_tasks,
             sentinel_ids=sentinel_ids, static_ban=static_ban, silence=silence)
-        return _S(cache=cache, key=key, **upd)
+        return ChainState(cache=cache, key=key, **upd)
 
-    init = _S(
-        cache=gen0, key=rng,
-        y_pos=p_lens.astype(jnp.int32),
-        next_tokens=jnp.broadcast_to(sentinel_ids[0], (S, K)).astype(jnp.int32),
-        out=jnp.full((S, K, cap_total), ts.empty, jnp.int32),
-        out_len=jnp.zeros((S,), jnp.int32),
-        span_idx=jnp.zeros((S,), jnp.int32),
-        span_end=jnp.zeros((S, num_task), jnp.int32),
-        num_gen=jnp.zeros((S,), jnp.int32),
-        num_eog=jnp.zeros((S,), jnp.int32),
-        prev_token=jnp.full((S,), -1, jnp.int32),
-        consec_silence=jnp.zeros((S,), jnp.int32),
-        num_cfg=jnp.ones((S,), jnp.int32),
-        done=jnp.zeros((S,), bool),
-    )
+    init = _init_chain_state(gen0, rng, p_lens.astype(jnp.int32), sentinel_ids,
+                             S, K, num_task, ts, cap_total)
 
     final = _staged_while(cond_fn, body, init, gen_sizes, _grow_cache)
     return final.out, final.span_end, final.out_len
@@ -1101,16 +868,23 @@ def generate_multi(
     """Decode several DIFFERENT utterances concurrently in one compiled loop
     (a serving capability the single-sample reference lacks). Prompts may mix
     span counts — a 1-span TTS job batches with 3-span edits; chains finish
-    after their own span count. Returns a list of per-prompt
+    after their own span count. Each prompt is ``(x, y, mask)`` or
+    ``(x, y, mask, prompt_x, prompt_y)`` — the 5-tuple form enables the
+    aug_context prepend for short spans (same semantics as
+    :func:`generate`). Returns a list of per-prompt
     (codes, marks, out_intervals, nm_intervals)."""
     ts = cfg.tokens
     K = cfg.n_codebooks
     S = len(prompts)
     built = []
-    for x, y, mask in prompts:
+    trims = []
+    for p in prompts:
+        (x, y, mask), ctx = p[:3], p[3:]
         x = np.asarray(x, np.int32)
         y = np.asarray(y, np.int32)
-        _check_no_aug_context(dec, list(mask), "generate_multi")
+        x, y, mask, trim = _apply_aug_context(
+            dec, x, y, mask, *(ctx if len(ctx) == 2 else (None, None)))
+        trims.append(trim)
         prefix, _, num_task, nm = patterns.build_inference_prefix(y, list(mask), ts)
         built.append((x, y, prefix, num_task, nm))
     n_tasks = np.asarray([b[3] for b in built], np.int32)
@@ -1154,7 +928,8 @@ def generate_multi(
 
     results = []
     for i, (x, y, prefix, ntask_i, nm) in enumerate(built):
-        results.append(assemble_result(y, nm, out[i], span_end[i], ntask_i, K))
+        results.append(_trim_context(
+            assemble_result(y, nm, out[i], span_end[i], ntask_i, K), trims[i]))
     return results
 
 

@@ -107,11 +107,9 @@ def _serve_chunk_impl(
     S = n_slots
     ts = cfg.tokens
     pe = ssr_model.sine_table(cfg.max_position, cfg.d_model)
-    cols = jnp.arange(ts.cardinality)[None, None, :]
     silence = jnp.asarray(dec.silence_tokens, jnp.int32)
     length_cap = x_lens * dec.length_cap_mult
-    static_ban = (cols == ts.eos) | (cols == ts.sos) | (
-        (cols >= ts.mts) & (cols < ts.mts + ts.max_n_spans))
+    static_ban = dec_mod._static_ban(ts)
 
     def embed_rows(tokens, y_pos):
         embs = params["audio_emb"]
@@ -288,14 +286,25 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------- internals
 
+    def _normalize(self, req):
+        """Unpack a request — ``(x, y, mask)`` or, with aug_context prompts,
+        ``(x, y, mask, prompt_x, prompt_y)`` — and apply the short-span
+        context prepend. Returns (x, y, mask, trim_frames); ``trim`` is
+        carried in the slot meta and stripped at harvest."""
+        x, y, mask = req[:3]
+        ctx = req[3:]
+        return dec_mod._apply_aug_context(
+            self.dec, np.asarray(x, np.int32), np.asarray(y, np.int32),
+            list(mask), *(ctx if len(ctx) == 2 else (None, None)))
+
     def validate_request(self, x, y, mask):
-        """Raise (geometry / span count / aug_context) BEFORE any decoding:
-        a failure mid-run would abandon in-flight lanes and drop finished
-        results. Returns (x, y, prefix, ntask, nm) for reuse."""
+        """Raise (geometry / span count) BEFORE any decoding: a failure
+        mid-run would abandon in-flight lanes and drop finished results.
+        Expects NORMALIZED inputs (:meth:`_normalize` already applied).
+        Returns (x, y, prefix, ntask, nm) for reuse."""
         cfg, dec, ts = self.cfg, self.dec, self.cfg.tokens
         x = np.asarray(x, np.int32)
         y = np.asarray(y, np.int32)
-        dec_mod._check_no_aug_context(dec, list(mask), "ContinuousBatcher")
         prefix, _, ntask, nm = patterns.build_inference_prefix(
             y, list(mask), ts)
         if len(x) > self.sx_pad or prefix.shape[1] > self.p_pad:
@@ -327,9 +336,10 @@ class ContinuousBatcher:
                     p_len=prefix.shape[1])
         return new_pfx, new_banned, meta
 
-    def _fill_slot(self, slot: int, req_idx: int, x, y, mask):
+    def _fill_slot(self, slot: int, req_idx: int, x, y, mask, trim: int = 0):
         new_pfx, new_banned, meta = self._prefill_request(x, y, mask)
         meta["req_idx"] = req_idx
+        meta["trim"] = trim
         self._slot_req[slot] = meta
         ts = self.cfg.tokens
         (self.state, self._pfx, self._banned, self._x_lens,
@@ -363,9 +373,9 @@ class ContinuousBatcher:
         out_row = np.asarray(self.state.out[slot])
         span_end_row = np.asarray(self.state.span_end[slot])
         self._slot_req[slot] = None
-        result = dec_mod.assemble_result(
+        result = dec_mod._trim_context(dec_mod.assemble_result(
             meta["y"], meta["nm"], out_row, span_end_row, meta["ntask"],
-            self.cfg.n_codebooks)
+            self.cfg.n_codebooks), meta.get("trim", 0))
         return meta["req_idx"], result
 
     # ------------------------------------------------------------------- API
@@ -378,16 +388,17 @@ class ContinuousBatcher:
         ``progress``: optional callable(completed, total, steps)."""
         if rng is not None:
             self.state = self.state._replace(key=rng)
-        for x, y, mask in requests:  # fail fast, before any decoding
+        norm = [self._normalize(r) for r in requests]
+        for x, y, mask, _ in norm:  # fail fast, before any decoding
             self.validate_request(x, y, mask)
-        pending = deque(enumerate(requests))
+        pending = deque(enumerate(norm))
         results: List = [None] * len(requests)
         n_done = 0
         for slot in range(self.S):
             if not pending:
                 break
-            idx, (x, y, mask) = pending.popleft()
-            self._fill_slot(slot, idx, x, y, mask)
+            idx, (x, y, mask, trim) = pending.popleft()
+            self._fill_slot(slot, idx, x, y, mask, trim)
         while True:
             self._run_chunk(2**30)
             harvestable = np.asarray(self.state.active & self.state.done)
@@ -398,8 +409,8 @@ class ContinuousBatcher:
                 results[idx] = result
                 n_done += 1
                 if pending:
-                    nidx, (x, y, mask) = pending.popleft()
-                    self._fill_slot(int(slot), nidx, x, y, mask)
+                    nidx, (x, y, mask, trim) = pending.popleft()
+                    self._fill_slot(int(slot), nidx, x, y, mask, trim)
                 else:
                     self.state = self.state._replace(
                         active=self.state.active.at[int(slot)].set(False))
@@ -428,11 +439,12 @@ class ContinuousBatcher:
         clock = clock or _time.monotonic
         if rng is not None:
             self.state = self.state._replace(key=rng)
-        for x, y, mask in requests:  # fail fast, before any decoding
+        norm = [self._normalize(r) for r in requests]
+        for x, y, mask, _ in norm:  # fail fast, before any decoding
             self.validate_request(x, y, mask)
         t0 = clock()
         order = sorted(range(len(requests)), key=lambda i: arrival_times[i])
-        pending = deque((i, requests[i]) for i in order)
+        pending = deque((i, norm[i]) for i in order)
         results: List = [None] * len(requests)
         done_at = [None] * len(requests)
 
@@ -489,9 +501,15 @@ def serve_requests(params, cfg, dec, requests, rng=None, *, n_slots=8,
     workload (pad buckets from the largest request) and run it."""
     ts = cfg.tokens
     sx_max, p_max, nt_max = 1, 1, 1
-    for x, y, mask in requests:
-        prefix, _, ntask, _ = patterns.build_inference_prefix(
-            np.asarray(y, np.int32), list(mask), ts)
+    for req in requests:
+        # geometry must be sized AFTER the aug_context prepend (requests may
+        # be 5-tuples carrying prompt context — see ContinuousBatcher._normalize)
+        x, y, mask = req[:3]
+        ctx = req[3:]
+        x, y, mask, _ = dec_mod._apply_aug_context(
+            dec, np.asarray(x, np.int32), np.asarray(y, np.int32), list(mask),
+            *(ctx if len(ctx) == 2 else (None, None)))
+        prefix, _, ntask, _ = patterns.build_inference_prefix(y, list(mask), ts)
         sx_max = max(sx_max, len(x))
         p_max = max(p_max, prefix.shape[1])
         nt_max = max(nt_max, ntask)

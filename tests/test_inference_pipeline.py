@@ -249,34 +249,3 @@ def test_pipeline_passes_aug_context_prompt(monkeypatch):
     assert "prompt_y" in captured and captured["prompt_y"] is captured["y"]
     assert captured["prompt_x"] is not None
 
-
-def test_batched_paths_reject_short_span_aug_context():
-    """generate_batch / generate_multi / the server fail loudly when
-    aug_context WOULD activate (short span) instead of silently decoding
-    without the context prepend; long spans remain a no-op as in the
-    reference (models/ssr.py:565-568)."""
-    import jax
-
-    from ssr_speech_tpu.config import DecodeConfig, tiny_ssr_config
-    from ssr_speech_tpu.inference import decode as dec_mod
-    from ssr_speech_tpu.inference import serve as serve_mod
-    from ssr_speech_tpu.models import ssr as ssr_model
-
-    cfg = tiny_ssr_config()
-    params = ssr_model.init_ssr(jax.random.PRNGKey(0), cfg)
-    dec = DecodeConfig(aug_context=True, top_k=1, stop_repetition=-1,
-                       aug_text=False, max_gen_per_span=16)
-    rng = np.random.default_rng(0)
-    y = rng.integers(0, cfg.tokens.audio_vocab_size,
-                     size=(cfg.n_codebooks, 24))
-    x = rng.integers(0, cfg.text_vocab_size - 1, size=(12,))
-    short = [(6, 12)]  # 6 frames < 2 s -> would activate
-    with pytest.raises(NotImplementedError, match="aug_context"):
-        dec_mod.generate_batch(params, cfg, dec, x, y, short,
-                               jax.random.PRNGKey(0), 2)
-    with pytest.raises(NotImplementedError, match="aug_context"):
-        dec_mod.generate_multi(params, cfg, dec, [(x, y, short)],
-                               jax.random.PRNGKey(0))
-    with pytest.raises(NotImplementedError, match="aug_context"):
-        serve_mod.serve_requests(params, cfg, dec, [(x, y, short)],
-                                 n_slots=1)
