@@ -42,6 +42,15 @@ def main(argv=None):
     p.add_argument("--exp_dir", required=True)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--segment_duration", type=float, default=2.0)
+    # dataset sampling options (reference audio_dataset.py:272-303 defaults)
+    p.add_argument("--sample_on_duration",
+                   action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--sample_on_weight",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="weight files by the manifest 'weight' field")
+    p.add_argument("--min_segment_ratio", type=float, default=0.5)
+    p.add_argument("--max_read_retry", type=int, default=10)
+    p.add_argument("--max_audio_duration", type=float, default=None)
     p.add_argument("--updates", type=int, default=2000)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=5e-4)
@@ -124,7 +133,12 @@ def main(argv=None):
 
     ds = AudioSegmentDataset(args.manifest, cfg, args.segment_duration,
                              seed=args.seed,
-                             loader_threads=args.loader_threads)
+                             loader_threads=args.loader_threads,
+                             sample_on_duration=args.sample_on_duration,
+                             sample_on_weight=args.sample_on_weight,
+                             min_segment_ratio=args.min_segment_ratio,
+                             max_read_retry=args.max_read_retry,
+                             max_audio_duration=args.max_audio_duration)
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.exp_dir, exist_ok=True)
     hop = cfg.hop_length
