@@ -90,6 +90,17 @@ class SSRModelConfig:
     # DoubleSwish variants (models/modules/transformer.py:12-13); the shipped
     # SSR config uses relu (models/ssr.py:160-168)
     activation: str = "relu"  # relu | double_swish | balanced_double_swish
+    # training-forward attention: "einsum" materializes [B,H,S,S] scores
+    # (bit-locked by the parity goldens); "flash" runs the fused Pallas
+    # online-softmax kernel (O(S) memory, lets the trainer relax per-layer
+    # remat — ops/flash_attention.py). Decode paths are unaffected.
+    attn_impl: str = "einsum"  # einsum | flash
+    # training-forward remat policy: "full" recomputes every layer in the
+    # backward (lowest memory — required with einsum attention at the 830M
+    # geometry, where saving dots would keep [B,H,S,S] scores); "dots" saves
+    # matmul outputs and recomputes only elementwise (viable once attn_impl
+    # is flash); "none" saves everything
+    remat: str = "full"  # full | dots | none
 
     @property
     def text_pad_token(self) -> int:

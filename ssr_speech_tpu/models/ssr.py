@@ -222,6 +222,8 @@ def ssr_forward(
     codebook_weight: Optional[Tuple[float, ...]] = None,
     act_sharding=None,
     unroll: bool = False,
+    remat="full",
+    flash_sharding=None,
 ) -> Dict[str, jnp.ndarray]:
     """Training/eval forward. batch: x [B,Sx], x_lens [B], y [B,Sy,K], y_lens [B].
 
@@ -229,15 +231,25 @@ def ssr_forward(
     top10acc_by_codebook). Composition of :func:`ssr_embed`, the transformer
     stack, and :func:`ssr_loss_from_hidden`. ``act_sharding`` enables
     sequence-parallel activation sharding and ``unroll`` the 1.58x-faster
-    unrolled layer loop (see ``transformer_forward``).
+    unrolled layer loop (see ``transformer_forward``). With
+    ``cfg.attn_impl == "flash"`` the fused-attention key-validity mask is
+    derived from the batch lengths here; the trainer then relaxes ``remat``
+    per ``cfg.remat`` (no [B,H,S,S] tensor to spill — ``ops/flash_attention``).
     """
     sx = batch["x"].shape[1]
     h, bias, r_trm = ssr_embed(params, cfg, batch,
                                deterministic=deterministic, rng=rng)
+    key_valid = None
+    if cfg.attn_impl == "flash":
+        sy = batch["y"].shape[1]
+        key_valid = ~jnp.concatenate(
+            [make_pad_mask(batch["x_lens"], sx),
+             make_pad_mask(batch["y_lens"], sy)], axis=1)
     out = trf.transformer_forward(
         params["decoder"], h, bias, cfg,
         deterministic=deterministic, rng=r_trm, dtype=compute_dtype,
-        act_sharding=act_sharding, unroll=unroll,
+        act_sharding=act_sharding, unroll=unroll, remat=remat,
+        key_valid=key_valid, flash_sharding=flash_sharding,
     )
     return ssr_loss_from_hidden(
         params, cfg, out[:, sx:], batch,

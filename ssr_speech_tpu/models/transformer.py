@@ -132,9 +132,11 @@ def transformer_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     dtype=jnp.float32,
-    remat: bool = True,
+    remat="full",  # "full" | "dots" | "none" (bools accepted: True/False)
     act_sharding=None,
     unroll: bool = False,
+    key_valid: Optional[jnp.ndarray] = None,
+    flash_sharding=None,
 ) -> jnp.ndarray:
     """Full-sequence forward (training / prefill without cache capture).
 
@@ -144,6 +146,13 @@ def transformer_forward(
     remat: rematerialize each layer in the backward pass — without it the
     scan saves every layer's [B, H, S, S] attention matrix (the 830M model at
     B=8/S=1280 needs 41 GB of HLO temps; with remat it fits one v5e chip).
+    With ``cfg.attn_impl == "flash"`` that matrix never materializes, so the
+    caller can (and the trainer does) pass ``remat=False``.
+
+    key_valid: [B, S] bool, True at un-padded positions — required when
+    ``cfg.attn_impl == "flash"``; the fused kernel rebuilds the xy mask from
+    causality + segment ids (``ops/flash_attention.py``) and ``bias`` is then
+    unused (XLA dead-code-eliminates its construction).
 
     act_sharding: optional ``NamedSharding`` pinned onto the residual stream
     at every layer boundary. Passing e.g. ``P('dp', 'tp', None)`` gives
@@ -169,10 +178,21 @@ def transformer_forward(
     bias = bias.astype(jnp.float32)
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    use_flash = cfg.attn_impl == "flash"
+    if use_flash and key_valid is None:
+        raise ValueError("attn_impl='flash' needs key_valid (see ssr_forward)")
 
     def _pin(x):
         return (jax.lax.with_sharding_constraint(x, act_sharding)
                 if act_sharding is not None else x)
+
+    def _mha(q, k, v):
+        if use_flash:
+            from ..ops.flash_attention import flash_attend_xy
+
+            mesh, spec = flash_sharding or (None, None)
+            return flash_attend_xy(q, k, v, key_valid, mesh=mesh, spec=spec)
+        return _attend(q, k, v, bias)
 
     def body(carry, lp):
         h, key = carry
@@ -180,7 +200,7 @@ def transformer_forward(
         hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"])
         qkv = hn @ lp["qkv_w"].astype(dtype) + lp["qkv_b"].astype(dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        attn = _attend(_split_heads(q, nhead), _split_heads(k, nhead), _split_heads(v, nhead), bias)
+        attn = _mha(_split_heads(q, nhead), _split_heads(k, nhead), _split_heads(v, nhead))
         attn = _merge_heads(attn) @ lp["out_w"].astype(dtype) + lp["out_b"].astype(dtype)
         h = _pin(h + _dropout(attn, rate, k1, deterministic))
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
@@ -190,14 +210,24 @@ def transformer_forward(
         h = _pin(h + _dropout(ff, rate, k3, deterministic))
         return (h, key), None
 
-    if remat:
+    # remat accepts the legacy bools (True="full", False="none") or a mode
+    # string from SSRModelConfig.remat
+    mode = {True: "full", False: "none"}.get(remat, remat)
+    if mode == "full":
         # REMAT_POLICY None = full per-layer remat (lowest memory). A
         # saveable policy (e.g. jax.checkpoint_policies.dots_saveable)
         # trades HBM for fewer recomputed matmuls in the backward.
         scan_body = (jax.checkpoint(body, policy=REMAT_POLICY)
                      if REMAT_POLICY is not None else jax.checkpoint(body))
-    else:
+    elif mode == "dots":
+        # save matmul outputs, recompute elementwise only — viable when the
+        # attention is fused (no [B,H,S,S] dot output to keep)
+        scan_body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_saveable)
+    elif mode == "none":
         scan_body = body
+    else:
+        raise ValueError(f"remat mode {remat!r}")
     if unroll:
         carry = (_pin(h), rng)
         for l in range(cfg.num_layers):

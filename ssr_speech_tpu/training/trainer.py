@@ -66,6 +66,14 @@ def make_train_step(
     cw = tcfg.codebook_weight
     if unroll is None:
         unroll = jax.default_backend() in ("tpu", "axon")
+    # fused attention never materializes [B,H,S,S], so the backward fits
+    # with relaxed remat (ops/flash_attention.py); cfg.remat picks the policy
+    remat = cfg.remat
+    flash_sharding = None
+    if cfg.attn_impl == "flash" and mesh is not None:
+        # the Pallas kernel has no GSPMD rule: run it shard_map'ed with batch
+        # on dp and heads on tp (both communication-free for attention)
+        flash_sharding = (mesh, P("dp", "tp", None, None))
     act_sharding = None
     if sequence_parallel:
         assert mesh is not None and "tp" in mesh.axis_names, mesh
@@ -81,6 +89,8 @@ def make_train_step(
             codebook_weight=cw,
             act_sharding=act_sharding,
             unroll=unroll,
+            remat=remat,
+            flash_sharding=flash_sharding,
         )
         loss = out["loss"]
         if normalize:
