@@ -25,7 +25,8 @@ for ONE chunk shape (plus one final flush shape). Requires a causal codec
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+from collections import deque
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -148,3 +149,228 @@ class TTSStreamer:
                 # first audio); start the lookahead from here
                 run_lm_chunk(F)
                 lookahead = True
+
+
+class _Lane:
+    """Host-side per-slot stream bookkeeping for :class:`StreamingServer`."""
+
+    __slots__ = ("req_idx", "codec", "sent", "target", "codes", "wavs",
+                 "first_at")
+
+    def __init__(self, req_idx: int, codec: cstream.StreamingCodec,
+                 first_target: int):
+        self.req_idx = req_idx
+        self.codec = codec
+        self.sent = 0          # final frames already handed to the codec
+        self.target = first_target
+        self.codes: List[np.ndarray] = []
+        self.wavs: List[np.ndarray] = []
+        self.first_at: Optional[float] = None
+
+
+class StreamingServer:
+    """Multi-client streaming TTS: ``n_slots`` concurrent decode lanes, each
+    emitting waveform chunks to its own client as the lane's tokens become
+    final (the composition of :class:`TTSStreamer`'s incremental release with
+    :class:`serve.ContinuousBatcher`'s slot recycling — neither alone gives N
+    concurrent clients sub-second first audio).
+
+    Per lane the codec decoder carries its OWN conv/LSTM state (a
+    ``StreamingCodec`` per in-flight request — state init is cheap; the
+    jitted chunk programs are module-level and shared). To keep the compiled
+    codec-shape set fixed at THREE (first chunk, steady chunk, 1-frame prompt
+    warm) regardless of utterance/prompt lengths, the final flush chunk is
+    padded to the steady shape and the waveform trimmed — the padded frames
+    only pollute state that dies with the lane.
+
+    Under greedy sampling each client's concatenated stream equals the
+    offline generate -> causal decode -> crop pipeline exactly
+    (``tests/test_stream_tts.py::test_streaming_server_matches_offline``).
+    """
+
+    def __init__(
+        self,
+        lm_params,
+        cfg: SSRModelConfig,
+        dec: DecodeConfig,
+        codec_params,
+        codec_cfg: CodecConfig,
+        n_slots: int,
+        *,
+        chunk_frames: int = 25,
+        first_chunk_frames: Optional[int] = None,
+        sx_pad: int = 128,
+        p_pad: int = 512,
+        dtype_name: str = "bfloat16",
+        codec_dtype=jnp.float32,
+    ):
+        if not codec_cfg.seanet.causal:
+            raise ValueError("streaming TTS needs a causal codec "
+                             "(codec_cfg.seanet.causal=True)")
+        if chunk_frames <= 2 * cfg.n_codebooks:
+            # a fresh lane resolves chunk_frames - K frames per LM chunk; the
+            # first emission (chunk_frames // 2) must be covered by one chunk
+            raise ValueError(
+                f"chunk_frames={chunk_frames} too small vs the delay pattern "
+                f"(need > 2*K = {2 * cfg.n_codebooks})")
+        self.cfg, self.dec = cfg, dec
+        self.codec_params, self.codec_cfg = codec_params, codec_cfg
+        self.chunk_frames = chunk_frames
+        self.first_chunk_frames = ((chunk_frames // 2 or 1)
+                                   if first_chunk_frames is None
+                                   else first_chunk_frames)
+        self.codec_dtype = codec_dtype
+        self._server = serve_mod.ContinuousBatcher(
+            lm_params, cfg, dec, n_slots, sx_pad=sx_pad, p_pad=p_pad,
+            num_task=1, dtype_name=dtype_name)
+
+    # ------------------------------------------------------------- internals
+
+    def _warm_codec(self, y_prompt: np.ndarray) -> cstream.StreamingCodec:
+        """Fresh per-lane decoder state, warmed on the prompt codes so the
+        stream picks up exactly where the prompt audio ends (output
+        discarded — the offline TTS path crops the same region). Prompt is
+        fed in steady-size chunks plus 1-frame remainders: the remainder
+        frames reuse ONE tiny compiled shape instead of compiling a shape
+        per prompt length."""
+        codec = cstream.StreamingCodec(self.codec_params, self.codec_cfg,
+                                       batch=1, dtype=self.codec_dtype)
+        F = self.chunk_frames
+        T = y_prompt.shape[1]
+        n_full = T // F
+        for s in range(0, n_full * F, F):
+            codec.decode_chunk(jnp.asarray(y_prompt[None, :, s:s + F]))
+        for s in range(n_full * F, T):
+            codec.decode_chunk(jnp.asarray(y_prompt[None, :, s:s + 1]))
+        return codec
+
+    def _emit(self, lane: _Lane, frames: np.ndarray, done: bool, now: float,
+              on_chunk) -> None:
+        """Release every complete emission chunk (and, on ``done``, the
+        padded-flush remainder) of ``frames`` (all RESOLVED final frames for
+        the lane, generated region) through the lane's codec."""
+        F, hop = self.chunk_frames, self.codec_cfg.hop_length
+        avail = frames.shape[1] - lane.sent
+        while avail >= lane.target or (done and avail > 0):
+            take = min(lane.target, avail)
+            chunk = frames[:, lane.sent:lane.sent + take]
+            if take < lane.target:  # final flush: pad to the compiled shape
+                pad = np.repeat(chunk[:, -1:], lane.target - take, axis=1)
+                dec_in = np.concatenate([chunk, pad], axis=1)
+            else:
+                dec_in = chunk
+            wav = np.asarray(
+                lane.codec.decode_chunk(jnp.asarray(dec_in[None])))[0]
+            wav = wav[: take * hop]
+            lane.sent += take
+            avail -= take
+            lane.target = F
+            if lane.first_at is None:
+                lane.first_at = now
+            lane.codes.append(chunk)
+            lane.wavs.append(wav)
+            if on_chunk is not None:
+                on_chunk(lane.req_idx, chunk, wav, now)
+
+    # ------------------------------------------------------------------- API
+
+    def run_online(
+        self,
+        requests: Sequence[Tuple],
+        arrival_times: Sequence[float],
+        on_chunk=None,
+        rng: Optional[jax.Array] = None,
+        clock=None,
+    ):
+        """Serve TTS requests (each ``(x, y_prompt)``) arriving at
+        ``arrival_times`` seconds after the call; each request's waveform is
+        streamed through ``on_chunk(req_idx, codes [K,F], wav [F*hop, ch],
+        t)`` as it becomes final (``t`` = seconds since call, the emission
+        time on the arrival clock).
+
+        Returns ``(results, first_chunk_at, done_at)``: ``results[i]`` is the
+        concatenated ``(codes [K,T], wav [T*hop, ch])`` of the generated
+        region, ``first_chunk_at[i]`` the first-audio emission time (TTFA =
+        ``first_chunk_at[i] - arrival_times[i]``), ``done_at[i]`` the final
+        chunk's emission time. ``clock`` is injectable for tests.
+        """
+        import time as _time
+
+        srv = self._server
+        clock = clock or _time.monotonic
+        if rng is not None:
+            srv.state = srv.state._replace(key=rng)
+        S = srv.S
+        K = self.cfg.n_codebooks
+        F = self.chunk_frames
+
+        norm = []
+        for x, y_prompt in requests:
+            y_prompt = np.asarray(y_prompt, np.int32)
+            T = y_prompt.shape[1]
+            x = np.asarray(x, np.int32)
+            srv.validate_request(x, y_prompt, [(T, T)])
+            norm.append((x, y_prompt, [(T, T)]))
+        t0 = clock()
+        order = sorted(range(len(requests)), key=lambda i: arrival_times[i])
+        pending = deque((i, norm[i]) for i in order)
+        lanes: List[Optional[_Lane]] = [None] * S
+        results: List = [None] * len(requests)
+        first_at: List = [None] * len(requests)
+        done_at: List = [None] * len(requests)
+
+        def fill_free_lanes():
+            for slot in range(S):
+                if not pending or lanes[slot] is not None:
+                    continue
+                idx, (x, y_prompt, mask) = pending[0]
+                if arrival_times[idx] > clock() - t0:
+                    break  # FIFO: head hasn't arrived yet
+                pending.popleft()
+                srv._fill_slot(slot, idx, x, y_prompt, mask)
+                lanes[slot] = _Lane(idx, self._warm_codec(y_prompt),
+                                    self.first_chunk_frames)
+
+        while pending or any(l is not None for l in lanes):
+            if not any(l is not None for l in lanes) and pending:
+                wait = arrival_times[pending[0][0]] - (clock() - t0)
+                if wait > 0:
+                    _time.sleep(wait)
+            fill_free_lanes()
+            # snapshot THEN dispatch: the copies enqueue before the
+            # (state-donating) LM chunk, so in-order device execution reads
+            # them safely while the next chunk already decodes
+            refs = (jnp.copy(srv.state.done), jnp.copy(srv.state.out_len),
+                    jnp.copy(srv.state.out))
+            srv._run_chunk(F)
+            done_h, len_h, out_h = jax.device_get(refs)
+            now = clock() - t0
+            for slot in range(S):
+                lane = lanes[slot]
+                if lane is None:
+                    continue
+                n = int(len_h[slot])
+                done = bool(done_h[slot])
+                raw = out_h[slot][:, :n]
+                frames = (patterns.revert_delay_pattern(raw) if n >= K
+                          else np.zeros((K, 0), np.int32))
+                if done:
+                    frames = frames[:, :-1]  # drop EOG (offline parity)
+                self._emit(lane, frames, done, now, on_chunk)
+                if done:
+                    # the chunk just dispatched above no-ops (a harvestable
+                    # lane falsifies its loop condition) — one idle dispatch
+                    # per finish, then the lane refills next iteration
+                    idx = lane.req_idx
+                    results[idx] = (
+                        np.concatenate(lane.codes, axis=1) if lane.codes
+                        else np.zeros((K, 0), np.int32),
+                        np.concatenate(lane.wavs, axis=0) if lane.wavs
+                        else np.zeros((0, 1), np.float32))
+                    first_at[idx] = lane.first_at
+                    done_at[idx] = now
+                    lanes[slot] = None
+                    srv._slot_req[slot] = None
+                    srv.state = srv.state._replace(
+                        active=srv.state.active.at[slot].set(False))
+        return results, first_at, done_at

@@ -86,3 +86,66 @@ def test_stream_tts_rejects_non_causal(models):
                       bins=CFG.tokens.audio_vocab_size))
     with pytest.raises(ValueError, match="causal"):
         stream.TTSStreamer(lm, CFG, DecodeConfig(), codec, bad)
+
+
+def test_streaming_server_matches_offline(models):
+    """3 concurrent clients through a 2-lane StreamingServer (the third
+    refills a finished lane): each client's concatenated stream must equal
+    its own offline generate -> causal decode -> crop, and chunks must be
+    emitted incrementally (first-audio strictly before completion)."""
+    lm, codec = models
+    rng = np.random.default_rng(11)
+    ts = CFG.tokens
+    dec_cfg = DecodeConfig(top_k=1, top_p=1.0, stop_repetition=-1,
+                           cfg_coef=1.5, cfg_stride=2, aug_text=True,
+                           cfg_pretrained=True, max_gen_per_span=80,
+                           length_cap_mult=10)
+    reqs = []
+    for T, sx in [(24, 40), (17, 28), (30, 36)]:
+        y = rng.integers(0, ts.audio_vocab_size, size=(CFG.n_codebooks, T))
+        x = rng.integers(0, CFG.text_vocab_size - 1, size=(sx,))
+        reqs.append((x, y))
+
+    F = 10
+    server = stream.StreamingServer(lm, CFG, dec_cfg, codec, CODEC, 2,
+                                    chunk_frames=F, sx_pad=64, p_pad=64,
+                                    dtype_name="float32")
+    emitted = []
+    results, first_at, done_at = server.run_online(
+        reqs, [0.0, 0.0, 0.0],
+        on_chunk=lambda i, c, w, t: emitted.append((i, c, w)),
+        rng=jax.random.PRNGKey(0))
+    assert all(r is not None for r in results)
+    for i, (x, y) in enumerate(reqs):
+        T = y.shape[1]
+        codes, marks, out_iv, nm = decode.generate(
+            lm, CFG, dec_cfg, x, y, [(T, T)], jax.random.PRNGKey(0),
+            dtype_name="float32")
+        s = out_iv[0][1]
+        e = out_iv[1][0] if len(out_iv) > 1 else codes.shape[2]
+        got_codes, got_wav = results[i]
+        np.testing.assert_array_equal(got_codes, codes[0][:, s:e])
+        full = np.asarray(seanet.decode(
+            codec["decoder"],
+            q.rvq_decode(codec["quantizer"], jnp.asarray(codes[:1])),
+            CODEC.seanet))
+        offline_crop = full[0, s * CODEC.hop_length:e * CODEC.hop_length]
+        assert got_wav.shape == offline_crop.shape
+        np.testing.assert_allclose(got_wav, offline_crop, atol=2e-5,
+                                   rtol=1e-4)
+        # streaming actually streamed: first audio strictly earlier than done
+        assert first_at[i] is not None and first_at[i] < done_at[i]
+        # on_chunk chunk sizes: first F//2, then F (flush may be shorter)
+        mine = [c for j, c, _ in emitted if j == i]
+        assert mine[0].shape[1] == F // 2
+        for c in mine[1:-1]:
+            assert c.shape[1] == F
+        total = sum(c.shape[1] for c in mine)
+        assert total == got_codes.shape[1]
+
+
+def test_streaming_server_rejects_tiny_chunk(models):
+    lm, codec = models
+    with pytest.raises(ValueError, match="chunk_frames"):
+        stream.StreamingServer(lm, CFG, DecodeConfig(), codec, CODEC, 2,
+                               chunk_frames=2 * CFG.n_codebooks)
