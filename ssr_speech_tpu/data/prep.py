@@ -80,7 +80,7 @@ def cmd_encode(args):
         wavs = np.zeros((B, pad_frames * hop, 1), np.float32)
         for i, w in enumerate(batch_wavs):
             wavs[i, : w.shape[1]] = w[0]
-        codes, _ = wm.encode(params, jnp.asarray(wavs), cfg)
+        codes, _, _ = wm.encode(params, jnp.asarray(wavs), cfg)
         codes = np.asarray(codes)
         for i, (name, f) in enumerate(zip(batch_names, batch_frames)):
             out = codes[i, :, :f]

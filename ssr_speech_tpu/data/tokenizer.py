@@ -108,17 +108,23 @@ class AudioTokenizer:
     def sample_rate(self) -> int:
         return self.cfg.sample_rate
 
-    def encode(self, wav: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """wav [B, T, C] -> (codes [B, K, F], latents)."""
-        codes, emb = wm.encode(self.params, wav, self.cfg)
-        return np.asarray(codes), np.asarray(emb)
+    def encode(self, wav: np.ndarray):
+        """wav [B, T, C] -> (codes [B, K, F], scale [B, 1] or None, latents)
+        — the reference tokenizer contract (tokenizer.py:125-127); scale is
+        None unless ``cfg.renormalize``."""
+        codes, scale, emb = wm.encode(self.params, wav, self.cfg)
+        return (np.asarray(codes),
+                None if scale is None else np.asarray(scale),
+                np.asarray(emb))
 
-    def decode(self, codes: np.ndarray) -> np.ndarray:
-        return np.asarray(wm.decode(self.params, codes, self.cfg))
+    def decode(self, codes: np.ndarray,
+               scale: Optional[np.ndarray] = None) -> np.ndarray:
+        return np.asarray(wm.decode(self.params, codes, self.cfg, scale))
 
     def wmdecode(self, codes: np.ndarray, marks: np.ndarray,
-                 wav: np.ndarray) -> np.ndarray:
-        out, _ = wm.wmdecode(self.params, codes, marks, wav, self.cfg)
+                 wav: np.ndarray,
+                 scale: Optional[np.ndarray] = None) -> np.ndarray:
+        out, _ = wm.wmdecode(self.params, codes, marks, wav, self.cfg, scale)
         return np.asarray(out)
 
     def detect_watermark(self, wav: np.ndarray) -> np.ndarray:
@@ -127,8 +133,9 @@ class AudioTokenizer:
 
 def tokenize_audio(tokenizer: AudioTokenizer, path: str):
     """Load, pad to hop multiple, resample, encode
-    (reference tokenizer.py:141-159)."""
+    (reference tokenizer.py:141-159, which returns (frames, scale, emb);
+    the loaded waveform is appended for the splice paths)."""
     wav = audio_io.load_for_codec(path, tokenizer.sample_rate,
                                   tokenizer.cfg.hop_length)
-    codes, emb = tokenizer.encode(wav)
-    return codes, emb, wav
+    codes, scale, emb = tokenizer.encode(wav)
+    return codes, scale, emb, wav

@@ -121,7 +121,7 @@ def inference_one_sample(
     x = text_to_ids(text_tokenizer, phn2num, target_text)
     prompt_x = text_to_ids(text_tokenizer, phn2num, prompt_text) if prompt_text else np.zeros(0, np.int32)
 
-    codes, _, wav = _encode(audio_tokenizer, audio_path)
+    codes, scale, _, wav = _encode(audio_tokenizer, audio_path)
     y = codes[0]  # [K, F]
     logger.info("source audio: %d codec frames (%.2f s)", y.shape[1],
                 y.shape[1] / dec.codec_sr)
@@ -146,9 +146,9 @@ def inference_one_sample(
             os_, ns = max(os_, 0), max(ns, 0)
             seg = wav[0, os_ * hop:oe * hop]
             new_wav[0, ns * hop:ns * hop + seg.shape[0]] = seg
-        out = audio_tokenizer.wmdecode(out_codes, marks, new_wav)
+        out = audio_tokenizer.wmdecode(out_codes, marks, new_wav, scale)
     else:
-        out = audio_tokenizer.decode(out_codes)
+        out = audio_tokenizer.decode(out_codes, scale)
 
     if tts:
         out = out[:, out_intervals[0][1] * hop:]
@@ -180,7 +180,7 @@ def inference_batch(
     (replaces the reference's sequential per-seed decodes,
     inference_v2.py:331-337). Returns a list of waveforms [1, T, 1]."""
     x = text_to_ids(text_tokenizer, phn2num, target_text)
-    codes, _, wav = _encode(audio_tokenizer, audio_path)
+    codes, scale, _, wav = _encode(audio_tokenizer, audio_path)
     y = codes[0]
     results = decode_mod.generate_batch(
         lm_params, cfg, dec, x, y, list(mask_interval),
@@ -195,9 +195,9 @@ def inference_batch(
                 os_, ns = max(os_, 0), max(ns, 0)
                 seg = wav[0, os_ * hop:oe * hop]
                 new_wav[0, ns * hop:ns * hop + seg.shape[0]] = seg
-            out = audio_tokenizer.wmdecode(out_codes, marks, new_wav)
+            out = audio_tokenizer.wmdecode(out_codes, marks, new_wav, scale)
         else:
-            out = audio_tokenizer.decode(out_codes)
+            out = audio_tokenizer.decode(out_codes, scale)
         if tts:
             out = out[:, out_intervals[0][1] * hop:]
         outs.append(out)
@@ -230,9 +230,9 @@ def inference_multi(
     metas = []
     for job in jobs:
         x = text_to_ids(text_tokenizer, phn2num, job["target_text"])
-        codes, _, wav = _encode(audio_tokenizer, job["audio_path"])
+        codes, scale, _, wav = _encode(audio_tokenizer, job["audio_path"])
         prompts.append((x, codes[0], list(job["mask_interval"])))
-        metas.append((wav, bool(job.get("tts", False))))
+        metas.append((wav, bool(job.get("tts", False)), scale))
     if continuous:
         from . import serve as serve_mod
 
@@ -257,16 +257,17 @@ def inference_multi(
         )
     hop = audio_tokenizer.cfg.hop_length
     outs = []
-    for (wav, tts), (out_codes, marks, out_iv, nm) in zip(metas, results):
+    for (wav, tts, scale), (out_codes, marks, out_iv, nm) in zip(metas,
+                                                                 results):
         if use_watermark:
             new_wav = np.zeros((1, out_codes.shape[2] * hop, 1), np.float32)
             for (os_, oe), (ns, ne) in zip(nm, out_iv):
                 os_, ns = max(os_, 0), max(ns, 0)
                 seg = wav[0, os_ * hop:oe * hop]
                 new_wav[0, ns * hop:ns * hop + seg.shape[0]] = seg
-            out = audio_tokenizer.wmdecode(out_codes, marks, new_wav)
+            out = audio_tokenizer.wmdecode(out_codes, marks, new_wav, scale)
         else:
-            out = audio_tokenizer.decode(out_codes)
+            out = audio_tokenizer.decode(out_codes, scale)
         if tts:
             out = out[:, out_iv[0][1] * hop:]
         outs.append(out)

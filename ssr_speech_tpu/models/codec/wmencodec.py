@@ -43,24 +43,54 @@ def init_wmencodec(key, cfg: CodecConfig) -> Params:
     )
 
 
+def preprocess(wav: jnp.ndarray, cfg: CodecConfig
+               ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Optional per-utterance volume renormalization before the encoder
+    (reference wmencodec.py:186-196): scale = 1e-8 + rms of the mono mix
+    over the whole segment. Returns (wav, scale [B, 1] or None); the shipped
+    config has renormalize=false, matching the reference
+    (config/encodec/default.yaml)."""
+    if not cfg.renormalize:
+        return wav, None
+    if cfg.seanet.causal:
+        # mirrors the reference constructor assert (wmencodec.py:162-164):
+        # a causal stream has no whole-segment volume to normalize by
+        raise ValueError("Causal model does not support renormalize")
+    mono = wav.mean(axis=2, keepdims=True)  # [B, T, 1]
+    volume = jnp.sqrt(jnp.mean(mono ** 2, axis=1, keepdims=True))
+    scale = 1e-8 + volume  # [B, 1, 1]
+    return wav / scale, scale[:, 0]  # scale as [B, 1] (ref .view(-1, 1))
+
+
+def postprocess(wav: jnp.ndarray, scale: Optional[jnp.ndarray] = None
+                ) -> jnp.ndarray:
+    """Undo :func:`preprocess` on a decoded waveform [B, T, C]
+    (reference wmencodec.py:198-204)."""
+    if scale is not None:
+        wav = wav * scale[:, :, None]
+    return wav
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encode(params: Params, wav: jnp.ndarray, cfg: CodecConfig
-           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """wav [B, T, C] -> (codes [B, K, F], latents [B, F, D]).
-
-    renormalize is false in the shipped config, so no scale is produced
-    (reference wmencodec.py:186-196, config encodec/default.yaml renormalize).
-    """
+           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """wav [B, T, C] -> (codes [B, K, F], scale [B, 1] or None,
+    latents [B, F, D]) — the reference encode contract (wmencodec.py:324-339);
+    scale is None unless ``cfg.renormalize``."""
+    wav, scale = preprocess(wav, cfg)
     emb = seanet.encode(params["encoder"], wav, cfg.seanet)
     codes = q.rvq_encode(params["quantizer"], emb, cfg.rvq.n_q)
-    return codes, emb
+    return codes, scale, emb
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def decode(params: Params, codes: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarray:
-    """codes [B, K, F] -> wav [B, F*hop, C] (reference wmencodec.py:341-356)."""
+def decode(params: Params, codes: jnp.ndarray, cfg: CodecConfig,
+           scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """codes [B, K, F] -> wav [B, F*hop, C]; ``scale`` (from :func:`encode`)
+    denormalizes the output (reference wmencodec.py:341-356)."""
     emb = q.rvq_decode(params["quantizer"], codes)
-    return seanet.decode(params["decoder"], emb, cfg.seanet)
+    return postprocess(seanet.decode(params["decoder"], emb, cfg.seanet),
+                       scale)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -70,11 +100,15 @@ def wmdecode(
     labels: jnp.ndarray,  # [B, F] int 0/1 (1 = generated/watermark region)
     waveform: jnp.ndarray,  # [B, F*hop, C] original audio, masked regions zeroed
     cfg: CodecConfig,
+    scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Watermark decode (reference wmencodec.py:358-375): returns
-    (wav [B, F*hop, C], detector logits [B, F, 2])."""
+    (wav [B, F*hop, C], detector logits [B, F, 2]); ``scale`` denormalizes
+    the fused output like :func:`decode`."""
     emb = q.rvq_decode(params["quantizer"], codes)
-    return seanet.wm_decode(params["wmdecoder"], emb, labels, waveform, cfg.seanet)
+    out, mark = seanet.wm_decode(params["wmdecoder"], emb, labels, waveform,
+                                 cfg.seanet)
+    return postprocess(out, scale), mark
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

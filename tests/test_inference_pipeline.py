@@ -226,14 +226,14 @@ def test_pipeline_passes_aug_context_prompt(monkeypatch):
     monkeypatch.setattr(pipeline.decode_mod, "generate", fake_generate)
     monkeypatch.setattr(
         pipeline, "_encode",
-        lambda tok, path: (np.zeros((1, 4, 20), np.int32), None,
+        lambda tok, path: (np.zeros((1, 4, 20), np.int32), None, None,
                            np.zeros((1, 20 * 16, 1), np.float32)))
 
     class _Tok:
         cfg = type("C", (), {"hop_length": 16})()
         sample_rate = 16000
 
-        def decode(self, codes):
+        def decode(self, codes, scale=None):
             return np.zeros((1, codes.shape[2] * 16, 1), np.float32)
 
     from ssr_speech_tpu.config import DecodeConfig, tiny_ssr_config

@@ -158,7 +158,7 @@ def capture_lm_config(name, lm_path, codec_path, wav_path, target_text,
     tok = pretrained.load_codec(codec_path)
     cfg = tok.cfg
     wav = _load_wav(wav_path, cfg)
-    codes, _ = tok.encode(wav)
+    codes, _, _ = tok.encode(wav)
     y = codes[0]
     x = _phonemize(target_text, phn2num, language)
     mask = mask_builder(y.shape[1])
