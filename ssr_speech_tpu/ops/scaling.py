@@ -21,13 +21,21 @@ transformer constructor accepts these — ``models/modules/transformer.py:
   - :func:`balanced_double_swish` / :func:`balanced_basic_norm` — the
     composition classes (transformer.py:134-176, scaling.py:1230-1243),
   - :func:`scaled_init` — ScaledLinear/ScaledConv semantics: torch default
-    init times ``initial_scale`` (scaling.py:556-641).
+    init times ``initial_scale`` (scaling.py:556-641),
+  - :func:`whiten` / :func:`whitening_metric` — the Whiten gradient penalty
+    (scaling.py:808-971),
+  - :func:`max_eig` / :func:`init_max_eig_direction` — the MaxEig dominant-
+    eigendirection limiter with explicit power-method state
+    (scaling.py:325-364, 1007-1159),
+  - :func:`with_loss` — attach an auxiliary loss to a passthrough
+    (scaling.py:973-991).
 
 All pure functions; the balancer's gradient surgery uses ``jax.custom_vjp``.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -167,3 +175,163 @@ def scaled_init(init_fn, initial_scale: float):
         out = init_fn(*args, **kwargs)
         return jax.tree.map(lambda p: p * initial_scale, out)
     return wrapped
+
+
+# ---------------------------------------------------------------------------
+# Whitening penalty (reference scaling.py:808-971): identity forward whose
+# backward adds a gradient pushing the per-group feature covariance toward a
+# scalar multiple of I.  The torch module gates application on
+# ``random.random() > prob`` host-side; our functional form is always-on (the
+# caller decides when to call it, e.g. via a dropout-style rng outside jit) —
+# same convention as :func:`activation_balancer`.
+# ---------------------------------------------------------------------------
+
+
+def whitening_metric(x: jnp.ndarray, num_groups: int) -> jnp.ndarray:
+    """_whitening_metric (scaling.py:808-844): 1.0 iff every group's centered
+    covariance is the same multiple of the identity; larger otherwise."""
+    x = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    num_frames, num_channels = x.shape
+    assert num_channels % num_groups == 0
+    cpg = num_channels // num_groups
+    x = jnp.transpose(x.reshape(num_frames, num_groups, cpg), (1, 0, 2))
+    x = x - jnp.mean(x, axis=1, keepdims=True)
+    x_covar = jnp.matmul(jnp.transpose(x, (0, 2, 1)), x)
+    diag = jnp.diagonal(x_covar, axis1=-2, axis2=-1)
+    x_covar_mean_diag = jnp.mean(diag)
+    x_covarsq_mean_diag = jnp.sum(x_covar * x_covar) / (num_groups * cpg)
+    return x_covarsq_mean_diag / (x_covar_mean_diag ** 2 + 1.0e-20)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def whiten(x: jnp.ndarray, num_groups: int = 1,
+           whitening_limit: float = 2.0,
+           grad_scale: float = 0.01) -> jnp.ndarray:
+    """Whiten (scaling.py:887-971): forward identity; backward adds
+    ``grad(relu(metric - limit))`` rescaled to ``grad_scale`` times the
+    incoming gradient norm.  Inactive (exact passthrough) while the metric is
+    under ``whitening_limit``."""
+    return x
+
+
+def _whiten_fwd(x, num_groups, whitening_limit, grad_scale):
+    return x, (x,)
+
+
+def _whiten_bwd(num_groups, whitening_limit, grad_scale, res, g):
+    (x,) = res
+    xf = jax.lax.stop_gradient(x).astype(jnp.float32)
+    penalty = jax.grad(
+        lambda v: jax.nn.relu(whitening_metric(v, num_groups)
+                              - whitening_limit))(xf)
+    gf = g.astype(jnp.float32)
+    g_norm = jnp.sqrt(jnp.sum(gf * gf))
+    p_norm = jnp.sqrt(jnp.sum(penalty * penalty))
+    scale = grad_scale * (g_norm / (p_norm + 1.0e-20))
+    return ((g + (penalty * scale).astype(g.dtype)),)
+
+
+whiten.defvjp(_whiten_fwd, _whiten_bwd)
+
+
+# ---------------------------------------------------------------------------
+# MaxEig (reference scaling.py:325-364, 1007-1159): power-method estimate of
+# the dominant eigen-direction of the centered feature covariance; when that
+# direction explains >= max_var_per_eig of the variance, the backward mixes in
+# a gradient that shrinks it.  Torch keeps the direction estimate and a
+# cur_prob scalar as module buffers; our state is explicit — the caller
+# threads ``direction`` through (init with :func:`init_max_eig_direction`) and
+# may implement the reference's cur_prob thinning host-side.  The active/
+# inactive branch is a traced gate so the op jits.
+# ---------------------------------------------------------------------------
+
+
+def init_max_eig_direction(num_channels: int) -> jnp.ndarray:
+    """MaxEig.__init__ buffer (scaling.py:1050-1055): normalized arange."""
+    d = jnp.arange(num_channels, dtype=jnp.float32)
+    return d / jnp.linalg.norm(d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _max_eig_apply(x, coeffs, direction, gate, channel_dim, grad_scale):
+    return x
+
+
+def _max_eig_apply_fwd(x, coeffs, direction, gate, channel_dim, grad_scale):
+    return x, (x, coeffs, direction, gate)
+
+
+def _max_eig_apply_bwd(channel_dim, grad_scale, res, g):
+    x, coeffs, direction, gate = res
+    num_channels = x.shape[channel_dim]
+
+    def variance_proportion(x_orig):
+        # MaxEigLimiterFunction.backward (scaling.py:340-364): recompute the
+        # centered features WITH gradient flow; coeffs/direction are detached.
+        xm = jnp.swapaxes(x_orig, channel_dim, -1).reshape(-1, num_channels)
+        xm = xm - jnp.mean(xm, axis=0)
+        x_var = jnp.mean(xm ** 2)
+        resid = xm - coeffs * direction
+        return (x_var - jnp.mean(resid ** 2)) / (x_var + 1.0e-20)
+
+    pg = jax.grad(variance_proportion)(
+        jax.lax.stop_gradient(x).astype(jnp.float32))
+    gf = g.astype(jnp.float32)
+    g_norm = jnp.sqrt(jnp.sum(gf * gf))
+    p_norm = jnp.sqrt(jnp.sum(pg * pg))
+    extra = pg * grad_scale * g_norm / (p_norm + 1.0e-20)
+    return (g + (gate * extra).astype(g.dtype), jnp.zeros_like(coeffs),
+            jnp.zeros_like(direction), jnp.zeros_like(gate))
+
+
+_max_eig_apply.defvjp(_max_eig_apply_fwd, _max_eig_apply_bwd)
+
+
+def max_eig(x: jnp.ndarray, direction: jnp.ndarray, channel_dim: int = -1,
+            max_var_per_eig: float = 0.2, grad_scale: float = 0.01
+            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One MaxEig.forward step (scaling.py:1057-1115).  Returns
+    ``(x_out, new_direction, variance_proportion)``: ``x_out`` is ``x`` with
+    the gradient surgery attached (active iff the proportion crosses
+    ``max_var_per_eig``), ``new_direction`` is the updated power-method state
+    (normalize(0.1*prev + step), falling back to ``direction`` on non-finite),
+    and the proportion is returned so callers can drive the reference's
+    cur_prob schedule (scaling.py:1100-1113) host-side if desired."""
+    if channel_dim < 0:
+        channel_dim += x.ndim
+    num_channels = x.shape[channel_dim]
+    xf = jax.lax.stop_gradient(x).astype(jnp.float32)
+    xm = jnp.swapaxes(xf, channel_dim, -1).reshape(-1, num_channels)
+    xm = xm - jnp.mean(xm, axis=0)
+    # _find_direction_coeffs (scaling.py:1131-1159)
+    coeffs = jnp.sum(xm * direction, axis=1, keepdims=True) + 1.0e-10
+    cur_dir = (jnp.sum(xm * coeffs, axis=0)
+               / (jnp.sum(coeffs ** 2) + 1.0e-20))
+    x_var = jnp.mean(xm ** 2)
+    resid = xm - coeffs * cur_dir
+    vp = (x_var - jnp.mean(resid ** 2)) / (x_var + 1.0e-20)
+    # _set_direction (scaling.py:1117-1129), with the non-finite guard
+    mixed = 0.1 * direction + cur_dir
+    mixed = mixed / jnp.linalg.norm(mixed)
+    new_direction = jnp.where(jnp.isfinite(jnp.sum(mixed)), mixed, direction)
+    gate = (vp >= max_var_per_eig).astype(jnp.float32)
+    y = _max_eig_apply(x, coeffs, cur_dir, gate, channel_dim, grad_scale)
+    return y, new_direction, vp
+
+
+@jax.custom_vjp
+def with_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """WithLoss (scaling.py:973-991): returns ``x`` but adds ``y.sum()`` to
+    whatever loss the output feeds (backward sends ones into ``y``)."""
+    return x
+
+
+def _with_loss_fwd(x, y):
+    return x, jnp.zeros_like(y)
+
+
+def _with_loss_bwd(res, g):
+    return g, jnp.ones_like(res)
+
+
+with_loss.defvjp(_with_loss_fwd, _with_loss_bwd)

@@ -166,3 +166,114 @@ def test_ssr_model_with_icefall_activation(act):
                                     jax.random.PRNGKey(9),  # greedy: key-free
                                     dtype_name="float32")
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_whitening_metric_matches_reference(ref_scaling):
+    import torch
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(50, 16)).astype(np.float32)
+    # make it deliberately non-white
+    x[:, 0] *= 5.0
+    for groups in (1, 2, 4):
+        want = ref_scaling._whitening_metric(torch.from_numpy(x),
+                                             groups).item()
+        got = float(sc.whitening_metric(jnp.asarray(x), groups))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("proportion", [0.1, 10.0])
+def test_whiten_gradient_surgery(ref_scaling, proportion):
+    """Whiten backward parity vs WhiteningPenaltyFunction: inactive
+    passthrough when the metric is under the limit, penalty-added gradient
+    when over (reference self-test _test_whiten, scaling.py:1280-1303)."""
+    import torch
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(100, 32)).astype(np.float32)
+    direction = rng.normal(size=(32,)).astype(np.float32)
+    coeffs = rng.normal(size=(100, 1)).astype(np.float32)
+    x = x + proportion * direction * coeffs
+    cot = rng.normal(size=(100, 32)).astype(np.float32)
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    y = ref_scaling.WhiteningPenaltyFunction.apply(xt, 2, 5.0, 0.1)
+    y.backward(torch.from_numpy(cot))
+    want = xt.grad.numpy()
+
+    yj, vjp = jax.vjp(lambda v: sc.whiten(v, 2, 5.0, 0.1), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(yj), x)  # identity forward
+    (got,) = vjp(jnp.asarray(cot))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-4)
+    if proportion < 0.2:
+        np.testing.assert_allclose(np.asarray(got), cot)  # inactive
+    else:
+        assert not np.allclose(np.asarray(got), cot)  # penalty applied
+
+
+@pytest.mark.parametrize("proportion", [0.05, 10.0])
+def test_max_eig_matches_reference(ref_scaling, proportion):
+    """MaxEig forward state + backward parity vs the torch module with
+    cur_prob=1 (reference self-test _test_max_eig, scaling.py:1255-1277)."""
+    import torch
+
+    num_channels = 24
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(80, num_channels)).astype(np.float32)
+    direction = rng.normal(size=(num_channels,)).astype(np.float32)
+    coeffs = rng.normal(size=(80, 1)).astype(np.float32)
+    x = x + proportion * direction * coeffs
+    cot = rng.normal(size=(80, num_channels)).astype(np.float32)
+
+    m = ref_scaling.MaxEig(num_channels, channel_dim=1, max_var_per_eig=0.5,
+                           scale=0.1)
+    m.cur_prob = 1.0
+    xt = torch.from_numpy(x).requires_grad_(True)
+    y = m(xt)
+    y.backward(torch.from_numpy(cot))
+    want_grad = xt.grad.numpy()
+    want_dir = m.max_eig_direction.numpy()
+
+    dir0 = sc.init_max_eig_direction(num_channels)
+    np.testing.assert_allclose(
+        np.asarray(dir0),
+        (np.arange(num_channels) / np.linalg.norm(
+            np.arange(num_channels))).astype(np.float32), atol=1e-7)
+
+    def f(v):
+        out, _, _ = sc.max_eig(v, dir0, channel_dim=1, max_var_per_eig=0.5,
+                               grad_scale=0.1)
+        return out
+
+    yj, vjp = jax.vjp(f, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(yj), x)
+    (got_grad,) = vjp(jnp.asarray(cot))
+    _, new_dir, vp = sc.max_eig(jnp.asarray(x), dir0, channel_dim=1,
+                                max_var_per_eig=0.5, grad_scale=0.1)
+    np.testing.assert_allclose(np.asarray(new_dir), want_dir,
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_grad), want_grad,
+                               atol=1e-5, rtol=1e-4)
+    if proportion < 0.2:
+        np.testing.assert_allclose(np.asarray(got_grad), cot)  # gate closed
+        assert float(vp) < 0.5
+    else:
+        assert float(vp) >= 0.5
+        assert not np.allclose(np.asarray(got_grad), cot)
+
+
+def test_with_loss(ref_scaling):
+    import torch
+
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(4, 5)).astype(np.float32)
+    aux = rng.normal(size=(3,)).astype(np.float32)
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    at = torch.from_numpy(aux).requires_grad_(True)
+    y = ref_scaling.with_loss(xt, at)
+    y.sum().backward()
+    got = jax.grad(lambda v, a: jnp.sum(sc.with_loss(v, a)),
+                   argnums=(0, 1))(jnp.asarray(x), jnp.asarray(aux))
+    np.testing.assert_allclose(np.asarray(got[0]), xt.grad.numpy())
+    np.testing.assert_allclose(np.asarray(got[1]), at.grad.numpy())
