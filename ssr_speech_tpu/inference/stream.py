@@ -152,20 +152,30 @@ class TTSStreamer:
 
 
 class _Lane:
-    """Host-side per-slot stream bookkeeping for :class:`StreamingServer`."""
+    """Host-side per-slot stream bookkeeping for :class:`StreamingServer`.
 
-    __slots__ = ("req_idx", "codec", "sent", "target", "codes", "wavs",
-                 "first_at")
+    ``queue`` holds codec frames awaiting decode — the prompt codes at fill
+    time, then the resolved generated frames as LM chunks land. The decoder
+    doesn't distinguish them (state-wise a frame is a frame); ``discard``
+    counts the leading frames whose audio belongs to the prompt region and is
+    suppressed (the offline TTS path crops the same region)."""
 
-    def __init__(self, req_idx: int, codec: cstream.StreamingCodec,
-                 first_target: int):
+    __slots__ = ("req_idx", "queue", "discard", "resolved", "eos", "codes",
+                 "wavs", "first_at")
+
+    def __init__(self, req_idx: int, queue: np.ndarray, discard: int):
         self.req_idx = req_idx
-        self.codec = codec
-        self.sent = 0          # final frames already handed to the codec
-        self.target = first_target
+        self.queue = np.asarray(queue, np.int32)
+        self.discard = int(discard)
+        self.resolved = 0      # generated frames already enqueued
+        self.eos = False       # LM finished; flush the queue remainder
         self.codes: List[np.ndarray] = []
         self.wavs: List[np.ndarray] = []
         self.first_at: Optional[float] = None
+
+    @property
+    def flushed(self) -> bool:
+        return self.eos and self.queue.shape[1] == 0
 
 
 class StreamingServer:
@@ -175,13 +185,18 @@ class StreamingServer:
     :class:`serve.ContinuousBatcher`'s slot recycling — neither alone gives N
     concurrent clients sub-second first audio).
 
-    Per lane the codec decoder carries its OWN conv/LSTM state (a
-    ``StreamingCodec`` per in-flight request — state init is cheap; the
-    jitted chunk programs are module-level and shared). To keep the compiled
-    codec-shape set fixed at THREE (first chunk, steady chunk, 1-frame prompt
-    warm) regardless of utterance/prompt lengths, the final flush chunk is
-    padded to the steady shape and the waveform trimmed — the padded frames
-    only pollute state that dies with the lane.
+    All lanes' codec streams advance through ONE batched program
+    (:class:`models.codec.streaming.LaneDecoder`) in fixed
+    ``first_chunk_frames``-sized steps — per-lane sequential decodes cost a
+    host dispatch per lane per chunk and dominated the chunk budget at 8
+    lanes (tools/stream_serve_probe.py). A lane's prompt codes and generated
+    frames share one decode queue (prompt audio is discarded by frame count),
+    so prompt warm-up needs no extra compiled shapes and overlaps the other
+    lanes' steady emission; within a server loop iteration every pending step
+    is dispatched back-to-back before the first output is fetched, so the
+    decodes pipeline on the device. Only the final flush pads (to the one
+    compiled shape) — the polluted state dies with the lane (reset on
+    refill).
 
     Under greedy sampling each client's concatenated stream equals the
     offline generate -> causal decode -> crop pipeline exactly
@@ -203,6 +218,7 @@ class StreamingServer:
         p_pad: int = 512,
         dtype_name: str = "bfloat16",
         codec_dtype=jnp.float32,
+        warm_chunk: int = 50,
     ):
         if not codec_cfg.seanet.causal:
             raise ValueError("streaming TTS needs a causal codec "
@@ -216,61 +232,75 @@ class StreamingServer:
         self.cfg, self.dec = cfg, dec
         self.codec_params, self.codec_cfg = codec_params, codec_cfg
         self.chunk_frames = chunk_frames
+        # emission granularity == the batched codec step size
         self.first_chunk_frames = ((chunk_frames // 2 or 1)
                                    if first_chunk_frames is None
                                    else first_chunk_frames)
-        self.codec_dtype = codec_dtype
+        self.warm_chunk = warm_chunk
+        self._lane_codec = cstream.LaneDecoder(codec_params, codec_cfg,
+                                               n_slots, dtype=codec_dtype)
         self._server = serve_mod.ContinuousBatcher(
             lm_params, cfg, dec, n_slots, sx_pad=sx_pad, p_pad=p_pad,
             num_task=1, dtype_name=dtype_name)
 
     # ------------------------------------------------------------- internals
 
-    def _warm_codec(self, y_prompt: np.ndarray) -> cstream.StreamingCodec:
-        """Fresh per-lane decoder state, warmed on the prompt codes so the
-        stream picks up exactly where the prompt audio ends (output
-        discarded — the offline TTS path crops the same region). Prompt is
-        fed in steady-size chunks plus 1-frame remainders: the remainder
-        frames reuse ONE tiny compiled shape instead of compiling a shape
-        per prompt length."""
-        codec = cstream.StreamingCodec(self.codec_params, self.codec_cfg,
-                                       batch=1, dtype=self.codec_dtype)
-        F = self.chunk_frames
-        T = y_prompt.shape[1]
-        n_full = T // F
-        for s in range(0, n_full * F, F):
-            codec.decode_chunk(jnp.asarray(y_prompt[None, :, s:s + F]))
-        for s in range(n_full * F, T):
-            codec.decode_chunk(jnp.asarray(y_prompt[None, :, s:s + 1]))
-        return codec
-
-    def _emit(self, lane: _Lane, frames: np.ndarray, done: bool, now: float,
-              on_chunk) -> None:
-        """Release every complete emission chunk (and, on ``done``, the
-        padded-flush remainder) of ``frames`` (all RESOLVED final frames for
-        the lane, generated region) through the lane's codec."""
-        F, hop = self.chunk_frames, self.codec_cfg.hop_length
-        avail = frames.shape[1] - lane.sent
-        while avail >= lane.target or (done and avail > 0):
-            take = min(lane.target, avail)
-            chunk = frames[:, lane.sent:lane.sent + take]
-            if take < lane.target:  # final flush: pad to the compiled shape
-                pad = np.repeat(chunk[:, -1:], lane.target - take, axis=1)
-                dec_in = np.concatenate([chunk, pad], axis=1)
-            else:
-                dec_in = chunk
-            wav = np.asarray(
-                lane.codec.decode_chunk(jnp.asarray(dec_in[None])))[0]
-            wav = wav[: take * hop]
-            lane.sent += take
-            avail -= take
-            lane.target = F
-            if lane.first_at is None:
-                lane.first_at = now
-            lane.codes.append(chunk)
-            lane.wavs.append(wav)
-            if on_chunk is not None:
-                on_chunk(lane.req_idx, chunk, wav, now)
+    def _drain(self, lanes: List[Optional[_Lane]], now_fn, on_chunk) -> None:
+        """Advance the batched codec until no lane has a full step pending
+        (EOS remainders flush padded). All steps are dispatched before the
+        first output is fetched — they pipeline on the device — then fetched
+        in order so emission timestamps track actual availability."""
+        f = self.first_chunk_frames
+        hop = self.codec_cfg.hop_length
+        K = self.cfg.n_codebooks
+        S = len(lanes)
+        plan = []   # per step: list of (slot, emitted codes, skip, take)
+        outs = []
+        while True:
+            steps = []
+            codes = np.zeros((S, K, f), np.int32)
+            active = np.zeros((S,), bool)
+            for slot, lane in enumerate(lanes):
+                if lane is None:
+                    continue
+                pending = lane.queue.shape[1]
+                if pending >= f:
+                    take = f
+                elif lane.eos and pending > 0:
+                    take = pending
+                else:
+                    continue
+                chunk = lane.queue[:, :take]
+                if take < f:  # final flush: pad to the compiled shape
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[:, -1:], f - take, axis=1)],
+                        axis=1)
+                codes[slot] = chunk
+                active[slot] = True
+                skip = min(lane.discard, take)
+                steps.append((slot, chunk[:, skip:take], skip, take))
+                lane.queue = lane.queue[:, take:]
+                lane.discard -= skip
+            if not steps:
+                break
+            outs.append(self._lane_codec.step(codes, active))
+            plan.append(steps)
+        for steps, out in zip(plan, outs):
+            if all(take - skip <= 0 for _, _, skip, take in steps):
+                continue  # prompt-region only: nothing to emit, skip the fetch
+            wav = jax.device_get(out)
+            now = now_fn()
+            for slot, c_emit, skip, take in steps:
+                if take - skip <= 0:
+                    continue  # still inside the prompt region
+                lane = lanes[slot]
+                w = wav[slot][skip * hop: take * hop]
+                if lane.first_at is None:
+                    lane.first_at = now
+                lane.codes.append(c_emit)
+                lane.wavs.append(w)
+                if on_chunk is not None:
+                    on_chunk(lane.req_idx, c_emit, w, now)
 
     # ------------------------------------------------------------------- API
 
@@ -284,9 +314,10 @@ class StreamingServer:
     ):
         """Serve TTS requests (each ``(x, y_prompt)``) arriving at
         ``arrival_times`` seconds after the call; each request's waveform is
-        streamed through ``on_chunk(req_idx, codes [K,F], wav [F*hop, ch],
+        streamed through ``on_chunk(req_idx, codes [K,f], wav [f*hop, ch],
         t)`` as it becomes final (``t`` = seconds since call, the emission
-        time on the arrival clock).
+        time on the arrival clock; ``f`` = ``first_chunk_frames``, the
+        emission granularity — boundary chunks may be shorter).
 
         Returns ``(results, first_chunk_at, done_at)``: ``results[i]`` is the
         concatenated ``(codes [K,T], wav [T*hop, ch])`` of the generated
@@ -320,6 +351,8 @@ class StreamingServer:
         done_at: List = [None] * len(requests)
 
         def fill_free_lanes():
+            reset_mask = np.zeros((S,), bool)
+            warms = []
             for slot in range(S):
                 if not pending or lanes[slot] is not None:
                     continue
@@ -328,8 +361,17 @@ class StreamingServer:
                     break  # FIFO: head hasn't arrived yet
                 pending.popleft()
                 srv._fill_slot(slot, idx, x, y_prompt, mask)
-                lanes[slot] = _Lane(idx, self._warm_codec(y_prompt),
-                                    self.first_chunk_frames)
+                warms.append((slot, idx, y_prompt))
+                reset_mask[slot] = True
+            if reset_mask.any():
+                self._lane_codec.reset(reset_mask)
+            for slot, idx, y_prompt in warms:
+                # prompt bulk at batch=1 + state scatter; the (< warm chunk)
+                # remainder merges into the step queue
+                consumed = self._lane_codec.warm_lane(slot, y_prompt,
+                                                      self.warm_chunk)
+                lanes[slot] = _Lane(idx, y_prompt[:, consumed:],
+                                    y_prompt.shape[1] - consumed)
 
         while pending or any(l is not None for l in lanes):
             if not any(l is not None for l in lanes) and pending:
@@ -347,7 +389,7 @@ class StreamingServer:
             now = clock() - t0
             for slot in range(S):
                 lane = lanes[slot]
-                if lane is None:
+                if lane is None or lane.eos:
                     continue
                 n = int(len_h[slot])
                 done = bool(done_h[slot])
@@ -356,21 +398,30 @@ class StreamingServer:
                           else np.zeros((K, 0), np.int32))
                 if done:
                     frames = frames[:, :-1]  # drop EOG (offline parity)
-                self._emit(lane, frames, done, now, on_chunk)
-                if done:
-                    # the chunk just dispatched above no-ops (a harvestable
-                    # lane falsifies its loop condition) — one idle dispatch
-                    # per finish, then the lane refills next iteration
-                    idx = lane.req_idx
-                    results[idx] = (
-                        np.concatenate(lane.codes, axis=1) if lane.codes
-                        else np.zeros((K, 0), np.int32),
-                        np.concatenate(lane.wavs, axis=0) if lane.wavs
-                        else np.zeros((0, 1), np.float32))
-                    first_at[idx] = lane.first_at
-                    done_at[idx] = now
-                    lanes[slot] = None
-                    srv._slot_req[slot] = None
-                    srv.state = srv.state._replace(
-                        active=srv.state.active.at[slot].set(False))
+                    lane.eos = True
+                new = frames[:, lane.resolved:]
+                if new.shape[1]:
+                    lane.queue = np.concatenate([lane.queue, new], axis=1)
+                    lane.resolved = frames.shape[1]
+            self._drain(lanes, lambda: clock() - t0, on_chunk)
+            now = clock() - t0
+            for slot in range(S):
+                lane = lanes[slot]
+                if lane is None or not lane.flushed:
+                    continue
+                # the LM chunk just dispatched above no-ops for this lane (a
+                # harvestable lane falsifies its loop condition) — one idle
+                # dispatch per finish, then the lane refills next iteration
+                idx = lane.req_idx
+                results[idx] = (
+                    np.concatenate(lane.codes, axis=1) if lane.codes
+                    else np.zeros((K, 0), np.int32),
+                    np.concatenate(lane.wavs, axis=0) if lane.wavs
+                    else np.zeros((0, 1), np.float32))
+                first_at[idx] = lane.first_at
+                done_at[idx] = now
+                lanes[slot] = None
+                srv._slot_req[slot] = None
+                srv.state = srv.state._replace(
+                    active=srv.state.active.at[slot].set(False))
         return results, first_at, done_at

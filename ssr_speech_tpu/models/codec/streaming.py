@@ -385,3 +385,98 @@ class StreamingCodec:
             self.params["decoder"], self.dec_state, latents,
             cfg=self.cfg.seanet)
         return out
+
+
+# ---------------------------------------------------------- batched lanes
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _warm_step_jit(p, s, z, *, cfg: SEANetConfig):
+    return decode_step(p, s, z, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _lane_decode_jit(p, s, z, active, *, cfg: SEANetConfig):
+    out, new_s = decode_step(p, s, z, cfg)
+
+    def keep(new, old):
+        m = active.reshape((active.shape[0],) + (1,) * (new.ndim - 1))
+        return jnp.where(m, new, old)
+
+    return out, jax.tree.map(keep, new_s, s)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _lane_reset_jit(s, mask):
+    def zero(leaf):
+        m = mask.reshape((mask.shape[0],) + (1,) * (leaf.ndim - 1))
+        return jnp.where(m, jnp.zeros_like(leaf), leaf)
+
+    return jax.tree.map(zero, s)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _lane_scatter_jit(s, warm, lane):
+    return jax.tree.map(
+        lambda leaf, w: jax.lax.dynamic_update_index_in_dim(
+            leaf, w[0].astype(leaf.dtype), lane, 0), s, warm)
+
+
+class LaneDecoder:
+    """``n_lanes`` independent causal decoder streams advanced by ONE batched
+    program per chunk — the multi-client counterpart of
+    :class:`StreamingCodec` (which runs one stream per instance and costs one
+    host dispatch PER stream per chunk; at 8 serving lanes those dispatches
+    dominated the chunk budget, tools/stream_serve_probe.py).
+
+    ``step`` advances only the lanes marked ``active`` — inactive rows keep
+    their conv/LSTM state bit-exactly (``jnp.where`` on every state leaf), so
+    callers batch whichever subset of lanes has a full chunk pending.
+    ``reset`` re-zeroes a lane's state for reuse by the next stream (zeros ==
+    a freshly initialized stream state)."""
+
+    def __init__(self, params: Params, cfg: CodecConfig, n_lanes: int,
+                 dtype=jnp.float32):
+        if not cfg.seanet.causal:
+            raise ValueError("LaneDecoder needs a causal codec config")
+        self.params, self.cfg = params, cfg
+        self.n_lanes = n_lanes
+        self.dtype = dtype
+        self.state = init_decoder_state(cfg.seanet, n_lanes, dtype)
+
+    def reset(self, lane_mask) -> None:
+        """Zero the state rows where ``lane_mask`` [n_lanes] is True."""
+        self.state = _lane_reset_jit(self.state, jnp.asarray(lane_mask))
+
+    def warm_lane(self, lane: int, codes, chunk: int = 50) -> int:
+        """Advance lane ``lane`` from a FRESH state over the leading
+        ``(T // chunk) * chunk`` frames of ``codes`` [K, T] at batch=1, then
+        scatter the warmed state into the lane's row.  Prompt warm-up this
+        way costs one stream's compute; running it through :meth:`step`
+        would burn a full ``n_lanes``-wide batch per chunk with every other
+        lane masked (measured 3x worse p50 TTFA, tools/stream_serve_probe.py).
+        Returns the number of frames consumed — the remainder (< ``chunk``)
+        is the caller's to feed through :meth:`step`, where it shares a step
+        with the first generated frames."""
+        T = codes.shape[1]
+        n = (T // chunk) * chunk
+        if n == 0:
+            return 0
+        s = init_decoder_state(self.cfg.seanet, 1, self.dtype)
+        for i in range(0, n, chunk):
+            latents = q.rvq_decode(self.params["quantizer"],
+                                   jnp.asarray(codes[None, :, i:i + chunk]))
+            _, s = _warm_step_jit(self.params["decoder"], s, latents,
+                                  cfg=self.cfg.seanet)
+        self.state = _lane_scatter_jit(self.state, s, lane)
+        return n
+
+    def step(self, codes, active) -> jnp.ndarray:
+        """codes [n_lanes, K, f] -> waveform [n_lanes, f*hop, channels].
+        Rows with ``active`` False keep their state; their output rows are
+        garbage (callers discard them). Does NOT block: the returned array is
+        a device handle, so consecutive steps pipeline on the device."""
+        latents = q.rvq_decode(self.params["quantizer"], codes)
+        out, self.state = _lane_decode_jit(
+            self.params["decoder"], self.state, latents,
+            jnp.asarray(active), cfg=self.cfg.seanet)
+        return out

@@ -109,7 +109,7 @@ def test_streaming_server_matches_offline(models):
     F = 10
     server = stream.StreamingServer(lm, CFG, dec_cfg, codec, CODEC, 2,
                                     chunk_frames=F, sx_pad=64, p_pad=64,
-                                    dtype_name="float32")
+                                    dtype_name="float32", warm_chunk=8)
     emitted = []
     results, first_at, done_at = server.run_online(
         reqs, [0.0, 0.0, 0.0],
@@ -135,11 +135,16 @@ def test_streaming_server_matches_offline(models):
                                    rtol=1e-4)
         # streaming actually streamed: first audio strictly earlier than done
         assert first_at[i] is not None and first_at[i] < done_at[i]
-        # on_chunk chunk sizes: first F//2, then F (flush may be shorter)
+        # on_chunk granularity: f-sized batched codec steps; the first
+        # emitted chunk may be shorter (it shares a step with the prompt
+        # tail: emits f - T%f frames), the final flush may be shorter too
+        f = F // 2
         mine = [c for j, c, _ in emitted if j == i]
-        assert mine[0].shape[1] == F // 2
+        d = T - (T // 8) * 8  # prompt tail left after batch-1 warm (chunk=8)
+        first_expect = f - (d % f) if d % f else f
+        assert mine[0].shape[1] == min(first_expect, got_codes.shape[1])
         for c in mine[1:-1]:
-            assert c.shape[1] == F
+            assert c.shape[1] == f
         total = sum(c.shape[1] for c in mine)
         assert total == got_codes.shape[1]
 

@@ -124,3 +124,60 @@ def test_streaming_wm_decode_matches_offline(setup):
     assert audio.shape == want_audio.shape
     np.testing.assert_allclose(audio, want_audio, atol=2e-6, rtol=1e-5)
     np.testing.assert_allclose(logits, want_logits, atol=2e-5, rtol=1e-4)
+
+
+def test_lane_decoder_masked_interleave_matches_offline(setup):
+    """LaneDecoder: two desynchronized streams through one batched program —
+    masked steps keep inactive lanes' state bit-exactly, and a mid-run lane
+    reset reproduces a fresh stream (the StreamingServer composition)."""
+    params, _, codes, wav_off = setup
+    f = 7
+    F = (codes.shape[2] // (2 * f)) * f  # stream A length (frames)
+    ld = st.LaneDecoder(params, CFG, n_lanes=2)
+
+    # lane 0 decodes codes[:F]; lane 1 (offset stream: same codes reversed
+    # in chunk order would break causality, so use a shifted slice) decodes
+    # codes[f:F+f]; lane 1 joins three steps late and catches up
+    a, b = codes[0, :, :F], codes[0, :, f:F + f]
+    wav_a, wav_b = [], []
+    ia = ib = 0
+    step = 0
+    while ia < F or ib < F:
+        batch = np.zeros((2, codes.shape[1], f), np.int32)
+        active = np.zeros((2,), bool)
+        take_a = f if ia < F else 0
+        take_b = f if (ib < F and step >= 3) else 0
+        if take_a:
+            batch[0] = a[:, ia:ia + f]
+            active[0] = True
+        if take_b:
+            batch[1] = b[:, ib:ib + f]
+            active[1] = True
+        out = np.asarray(ld.step(batch, active))
+        if take_a:
+            wav_a.append(out[0])
+            ia += f
+        if take_b:
+            wav_b.append(out[1])
+            ib += f
+        step += 1
+
+    hop = CFG.hop_length
+    off_a = wav_off[0, :F * hop]
+    np.testing.assert_allclose(np.concatenate(wav_a, axis=0), off_a,
+                               atol=1e-5, rtol=1e-4)
+    off_b = np.asarray(seanet.decode(
+        params["decoder"],
+        q.rvq_decode(params["quantizer"], jnp.asarray(codes[:, :, f:F + f])),
+        CFG.seanet))[0]
+    np.testing.assert_allclose(np.concatenate(wav_b, axis=0), off_b,
+                               atol=1e-5, rtol=1e-4)
+
+    # reset lane 0 only; replaying stream A must give identical audio while
+    # lane 1's (unreset) state would not
+    ld.reset(np.array([True, False]))
+    out0 = [np.asarray(ld.step(
+        np.broadcast_to(a[None, :, i:i + f], (2,) + a[:, i:i + f].shape).copy(),
+        np.array([True, False])))[0] for i in range(0, F, f)]
+    np.testing.assert_allclose(np.concatenate(out0, axis=0), off_a,
+                               atol=1e-5, rtol=1e-4)
