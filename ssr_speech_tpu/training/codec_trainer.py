@@ -70,11 +70,21 @@ def init_codec_train_state(key, cfg: CodecConfig, lr: float = 5e-4,
                   quantizer=params["quantizer"])
     disc_params = disc_mod.init_msstftd(k2)
     g_opt_t, d_opt_t = make_optimizers(lr)
+
+    @jax.jit
+    def _aux_init(wm_p, disc_p):
+        # one program for the optimizer states + EMA copy: unjitted these
+        # are hundreds of per-leaf zeros/copy dispatches, ~60 s on the
+        # tunneled axon backend (tools/codec_init_probe.py)
+        return (g_opt_t.init(wm_p), d_opt_t.init(disc_p),
+                jax.tree.map(jnp.copy, wm_p))
+
+    g_opt, d_opt, ema = _aux_init(wm_params, disc_params)
     state = CodecTrainState(
         wm_params=wm_params, frozen=frozen, disc_params=disc_params,
-        g_opt=g_opt_t.init(wm_params), d_opt=d_opt_t.init(disc_params),
+        g_opt=g_opt, d_opt=d_opt,
         balancer=L.init_balancer(list(BALANCE_WEIGHTS)),
-        ema_params=jax.tree.map(jnp.copy, wm_params),
+        ema_params=ema,
         step=jnp.zeros((), jnp.int32),
     )
     return state, (g_opt_t, d_opt_t)
