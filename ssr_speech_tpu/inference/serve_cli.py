@@ -36,6 +36,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--continuous", action="store_true",
                    help="slot-recycling continuous batching instead of "
                         "static sorted batches")
+    p.add_argument("--stream", action="store_true",
+                   help="stream TTS jobs through n_slots concurrent lanes: "
+                        "waveform chunks are emitted while the LM decodes "
+                        "(all jobs must be tts; needs a CAUSAL codec bundle; "
+                        "use_watermark does not apply). Writes "
+                        "<savename>.wav plus a <savename>.stream.jsonl "
+                        "emission manifest (chunk sizes + times)")
+    p.add_argument("--chunk_frames", type=int, default=25,
+                   help="stream mode: LM chunk cadence in codec frames "
+                        "(emission steps are half this)")
+    p.add_argument("--save_chunks", action="store_true",
+                   help="stream mode: also write each emitted chunk under "
+                        "<output_dir>/<savename>.chunks/")
     p.add_argument("--n_slots", type=int, default=8)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--sub_amount", type=float, default=0.12)
@@ -55,6 +68,77 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--whisper_model", default=None)
     p.add_argument("--align_model", default=None)
     return p
+
+
+def _serve_stream(args, params, cfg, dec, phn2num, text_tok, audio_tok,
+                  prepared):
+    """TTS jobs through the multi-client :class:`inference.stream.
+    StreamingServer`: each job's waveform chunks are emitted while the LM
+    decodes (p95 sub-second first audio at 8 lanes, BENCHMARKS.md). The
+    request prompt is the job's audio cut at the TTS prompt boundary
+    (``mask_interval[0][0]`` frames, the same cut the offline TTS path
+    masks from)."""
+    import jax
+
+    from ..ops import patterns
+    from ..utils import audio as audio_io
+    from . import decode as decode_mod
+    from . import pipeline
+    from . import stream as stream_mod
+
+    bad = [j["savename"] for j in prepared if not j["tts"]]
+    if bad:
+        raise SystemExit(f"--stream serves TTS jobs only; non-tts jobs: {bad}")
+
+    requests = []
+    for job in prepared:
+        x = pipeline.text_to_ids(text_tok, phn2num, job["target_text"])
+        codes, _, _, _ = pipeline._encode(audio_tok, job["audio_path"])
+        cut = int(job["mask_interval"][0][0])
+        requests.append((x, codes[0][:, :max(cut, 1)]))
+
+    ts = cfg.tokens
+    sx_max = max(len(x) for x, _ in requests)
+    p_max = 1
+    for x, y in requests:
+        prefix, _, _, _ = patterns.build_inference_prefix(
+            y, [(y.shape[1], y.shape[1])], ts)
+        p_max = max(p_max, prefix.shape[1])
+    server = stream_mod.StreamingServer(
+        params, cfg, dec, audio_tok.params, audio_tok.cfg,
+        min(args.n_slots, len(requests)), chunk_frames=args.chunk_frames,
+        sx_pad=decode_mod._bucket(sx_max, 64),
+        p_pad=decode_mod._bucket(p_max, 128))
+
+    manifests = [[] for _ in prepared]
+
+    def on_chunk(i, c, w, t):
+        manifests[i].append((c.shape[1], w, t))
+
+    results, first_at, done_at = server.run_online(
+        requests, [0.0] * len(requests), on_chunk=on_chunk,
+        rng=jax.random.PRNGKey(args.seed))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    sr = audio_tok.sample_rate
+    for i, (job, (codes_out, wav)) in enumerate(zip(prepared, results)):
+        path = os.path.join(args.output_dir, job["savename"] + ".wav")
+        audio_io.write_wav(path, wav[:, 0], sr)
+        man = os.path.join(args.output_dir, job["savename"] + ".stream.jsonl")
+        with open(man, "w") as f:
+            for k, (frames, w, t) in enumerate(manifests[i]):
+                f.write(json.dumps(dict(chunk=k, frames=frames,
+                                        samples=int(w.shape[0]),
+                                        t=round(float(t), 4))) + "\n")
+        if args.save_chunks:
+            cdir = os.path.join(args.output_dir, job["savename"] + ".chunks")
+            os.makedirs(cdir, exist_ok=True)
+            for k, (_, w, _) in enumerate(manifests[i]):
+                audio_io.write_wav(os.path.join(cdir, f"{k:04d}.wav"),
+                                   w[:, 0], sr)
+        logging.info("streamed %s: %.2f s audio, TTFA %.0f ms, done %.2f s",
+                     job["savename"], wav.shape[0] / sr,
+                     1e3 * first_at[i], done_at[i])
 
 
 def main(argv=None):
@@ -109,6 +193,13 @@ def main(argv=None):
         cfg_pretrained=args.cfg_pretrained, codec_sr=args.codec_sr,
         seed=args.seed,
     )
+    if args.stream:
+        _serve_stream(args, params, cfg, dec, phn2num, text_tok, audio_tok,
+                      prepared)
+        logging.info("streamed %d jobs in %.2f s", len(jobs),
+                     time.time() - t0)
+        return
+
     outs = pipeline.inference_multi(
         params, cfg, dec, phn2num, text_tok, audio_tok, prepared,
         use_watermark=args.use_watermark, seed=args.seed,

@@ -104,3 +104,73 @@ def test_serve_cli_jobs(artifacts, monkeypatch, tmp_path, mode):
         wav, sr = audio_io.read_wav(path)
         assert sr == 16000 and wav.shape[-1] > 0
         assert np.isfinite(wav).all()
+
+
+CAUSAL_CODEC = dataclasses.replace(
+    CODEC, seanet=dataclasses.replace(CODEC.seanet, causal=True,
+                                      trim_right_ratio=1.0))
+
+
+def _tts_jobs(artifacts, path, names):
+    orig = "this is a test of batch serving"
+    with open(path, "w") as f:
+        for name in names:
+            f.write(json.dumps(dict(
+                orig_audio=os.path.join(artifacts["dir"], "in.wav"),
+                orig_transcript=orig,
+                target_transcript=f"a fresh line for {name}",
+                alignment_file=os.path.join(artifacts["dir"], "align.csv"),
+                tts=True, savename=name)) + "\n")
+
+
+def test_serve_cli_stream(artifacts, monkeypatch, tmp_path):
+    """--stream: TTS jobs through the multi-client streaming server; the
+    concatenated emitted chunks must equal the final wav, and the emission
+    manifest must show incremental (time-ordered) chunks."""
+    import ssr_speech_tpu.inference.cli as cli_mod
+
+    causal_params = wm.init_wmencodec(jax.random.PRNGKey(2), CAUSAL_CODEC)
+
+    def load_codec_causal(path):
+        from ssr_speech_tpu.data.tokenizer import AudioTokenizer
+
+        return AudioTokenizer(causal_params, CAUSAL_CODEC)
+
+    monkeypatch.setattr(cli_mod, "load_codec", load_codec_causal)
+    jobs_path = str(tmp_path / "tts_jobs.jsonl")
+    _tts_jobs(artifacts, jobs_path, ["s0", "s1"])
+    out_dir = str(tmp_path / "stream")
+    serve_cli.main([
+        "--model_path", artifacts["lm"], "--codec_path", artifacts["codec"],
+        "--jobs", jobs_path, "--output_dir", out_dir, "--stream",
+        "--chunk_frames", "10", "--n_slots", "2", "--top_k", "1",
+        "--stop_repetition", "-1", "--save_chunks",
+    ])
+    for name in ["s0", "s1"]:
+        wav, sr = audio_io.read_wav(os.path.join(out_dir, name + ".wav"))
+        assert sr == 16000 and wav.shape[-1] > 0 and np.isfinite(wav).all()
+        lines = [json.loads(l) for l in
+                 open(os.path.join(out_dir, name + ".stream.jsonl"))]
+        assert len(lines) >= 1
+        ts = [l["t"] for l in lines]
+        assert ts == sorted(ts)
+        assert sum(l["samples"] for l in lines) == wav.shape[-1]
+        cdir = os.path.join(out_dir, name + ".chunks")
+        chunks = sorted(os.listdir(cdir))
+        assert len(chunks) == len(lines)
+        cat = np.concatenate(
+            [audio_io.read_wav(os.path.join(cdir, c))[0] for c in chunks],
+            axis=-1)
+        np.testing.assert_allclose(cat, wav, atol=1e-4)
+
+
+def test_serve_cli_stream_rejects_edit_jobs(artifacts, monkeypatch, tmp_path):
+    _patch_codec(monkeypatch)
+    out_dir = str(tmp_path / "stream_bad")
+    with pytest.raises(SystemExit, match="tts"):
+        serve_cli.main([
+            "--model_path", artifacts["lm"],
+            "--codec_path", artifacts["codec"],
+            "--jobs", artifacts["jobs"], "--output_dir", out_dir, "--stream",
+            "--chunk_frames", "10", "--n_slots", "2",
+        ])
