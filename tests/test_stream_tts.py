@@ -154,3 +154,39 @@ def test_streaming_server_rejects_tiny_chunk(models):
     with pytest.raises(ValueError, match="chunk_frames"):
         stream.StreamingServer(lm, CFG, DecodeConfig(), codec, CODEC, 2,
                                chunk_frames=2 * CFG.n_codebooks)
+
+
+def test_tp_streaming_server_matches_single(models):
+    """StreamingServer with tensor-parallel-sharded LM params: the decode
+    path is sharding-transparent (parallel/mesh.py::shard_params_for_serving),
+    so the streamed multi-client output must be bit-exact vs the single-device
+    server; the per-lane codec runs replicated."""
+    from ssr_speech_tpu.parallel import mesh as meshlib
+
+    lm, codec = models
+    rng = np.random.default_rng(23)
+    ts = CFG.tokens
+    dec_cfg = DecodeConfig(top_k=1, top_p=1.0, stop_repetition=-1,
+                           cfg_coef=1.5, cfg_stride=2, aug_text=True,
+                           cfg_pretrained=True, max_gen_per_span=60,
+                           length_cap_mult=10)
+    reqs = []
+    for T, sx in [(20, 32), (26, 36)]:
+        y = rng.integers(0, ts.audio_vocab_size, size=(CFG.n_codebooks, T))
+        x = rng.integers(0, CFG.text_vocab_size - 1, size=(sx,))
+        reqs.append((x, y))
+
+    def run(params):
+        server = stream.StreamingServer(params, CFG, dec_cfg, codec, CODEC,
+                                        2, chunk_frames=10, sx_pad=64,
+                                        p_pad=64, dtype_name="float32",
+                                        warm_chunk=8)
+        return server.run_online(reqs, [0.0, 0.0], rng=jax.random.PRNGKey(4))
+
+    r0, _, _ = run(lm)
+    mesh = meshlib.make_mesh(8, tp=2)
+    lm_sh = meshlib.shard_params_for_serving(mesh, lm)
+    r1, _, _ = run(lm_sh)
+    for (c0, w0), (c1, w1) in zip(r0, r1):
+        np.testing.assert_array_equal(c0, c1)
+        np.testing.assert_allclose(w0, w1, atol=2e-5, rtol=1e-4)
