@@ -99,8 +99,9 @@ class SSRModelConfig:
     # backward (lowest memory — required with einsum attention at the 830M
     # geometry, where saving dots would keep [B,H,S,S] scores); "dots" saves
     # matmul outputs and recomputes only elementwise (viable once attn_impl
-    # is flash); "none" saves everything
-    remat: str = "full"  # full | dots | none
+    # is flash); "mixed" leaves every other unrolled layer un-rematted
+    # (between "dots" and "none" in memory); "none" saves everything
+    remat: str = "full"  # full | dots | mixed | none
 
     @property
     def text_pad_token(self) -> int:

@@ -173,6 +173,13 @@ class AudioSegmentDataset:
         if res is None:  # no native lib: caller uses the python path
             return None
         out, errs = res
-        for j in np.nonzero(errs)[0]:  # per-row fallback (resample etc.)
-            out[j] = self.sample_segment()  # free re-sample, like the retry path
+        for j in np.nonzero(errs)[0]:
+            # python-load the SAME file (the native loader can't parse it —
+            # resample/exotic encoding): a fresh weighted re-sample here would
+            # systematically underrepresent native-unparseable files
+            try:
+                out[j] = self.sample_segment(int(idxs[j]))
+            except Exception:
+                # unreadable by python too: re-sample, like the retry path
+                out[j] = self.sample_segment()
         return out[..., None]

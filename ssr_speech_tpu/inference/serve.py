@@ -315,11 +315,15 @@ class ContinuousBatcher:
             raise ValueError(f"request has {ntask} spans > {self.num_task}")
         return x, y, prefix, ntask, nm
 
-    def _prefill_request(self, x, y, mask):
-        """Pad + prefill ONE request; returns (pfx rows, banned rows, meta)."""
+    def _prefill_request(self, x, y, mask, pre=None):
+        """Pad + prefill ONE request; returns (pfx rows, banned rows, meta).
+        ``pre``: a saved :meth:`validate_request` result — callers that
+        already validated (run/run_online fail-fast loops) pass it so the
+        prefix isn't rebuilt a third time."""
         cfg, dec, ts = self.cfg, self.dec, self.cfg.tokens
         K = cfg.n_codebooks
-        x, y, prefix, ntask, nm = self.validate_request(x, y, mask)
+        x, y, prefix, ntask, nm = (self.validate_request(x, y, mask)
+                                   if pre is None else pre)
         pfx_row = np.full((1, K, self.p_pad), ts.empty, np.int32)
         pfx_row[0, :, : prefix.shape[1]] = prefix
         self._n_prefills += 1
@@ -336,8 +340,9 @@ class ContinuousBatcher:
                     p_len=prefix.shape[1])
         return new_pfx, new_banned, meta
 
-    def _fill_slot(self, slot: int, req_idx: int, x, y, mask, trim: int = 0):
-        new_pfx, new_banned, meta = self._prefill_request(x, y, mask)
+    def _fill_slot(self, slot: int, req_idx: int, x, y, mask, trim: int = 0,
+                   pre=None):
+        new_pfx, new_banned, meta = self._prefill_request(x, y, mask, pre=pre)
         meta["req_idx"] = req_idx
         meta["trim"] = trim
         self._slot_req[slot] = meta
@@ -389,16 +394,17 @@ class ContinuousBatcher:
         if rng is not None:
             self.state = self.state._replace(key=rng)
         norm = [self._normalize(r) for r in requests]
-        for x, y, mask, _ in norm:  # fail fast, before any decoding
-            self.validate_request(x, y, mask)
-        pending = deque(enumerate(norm))
+        # fail fast, before any decoding; the validated tuples (prefix etc.)
+        # are reused at fill time instead of being rebuilt per slot
+        vals = [self.validate_request(x, y, mask) for x, y, mask, _ in norm]
+        pending = deque(zip(range(len(norm)), norm, vals))
         results: List = [None] * len(requests)
         n_done = 0
         for slot in range(self.S):
             if not pending:
                 break
-            idx, (x, y, mask, trim) = pending.popleft()
-            self._fill_slot(slot, idx, x, y, mask, trim)
+            idx, (x, y, mask, trim), pre = pending.popleft()
+            self._fill_slot(slot, idx, x, y, mask, trim, pre=pre)
         while True:
             self._run_chunk(2**30)
             harvestable = np.asarray(self.state.active & self.state.done)
@@ -409,8 +415,8 @@ class ContinuousBatcher:
                 results[idx] = result
                 n_done += 1
                 if pending:
-                    nidx, (x, y, mask, trim) = pending.popleft()
-                    self._fill_slot(int(slot), nidx, x, y, mask, trim)
+                    nidx, (x, y, mask, trim), pre = pending.popleft()
+                    self._fill_slot(int(slot), nidx, x, y, mask, trim, pre=pre)
                 else:
                     self.state = self.state._replace(
                         active=self.state.active.at[int(slot)].set(False))
@@ -440,11 +446,11 @@ class ContinuousBatcher:
         if rng is not None:
             self.state = self.state._replace(key=rng)
         norm = [self._normalize(r) for r in requests]
-        for x, y, mask, _ in norm:  # fail fast, before any decoding
-            self.validate_request(x, y, mask)
+        # fail fast, before any decoding; validated tuples reused at fill
+        vals = [self.validate_request(x, y, mask) for x, y, mask, _ in norm]
         t0 = clock()
         order = sorted(range(len(requests)), key=lambda i: arrival_times[i])
-        pending = deque((i, norm[i]) for i in order)
+        pending = deque((i, norm[i], vals[i]) for i in order)
         results: List = [None] * len(requests)
         done_at = [None] * len(requests)
 
@@ -454,11 +460,11 @@ class ContinuousBatcher:
             for slot in range(self.S):
                 if not pending or active[slot]:
                     continue
-                idx, req = pending[0]
+                idx, req, pre = pending[0]
                 if arrival_times[idx] > clock() - t0:
                     break  # FIFO: head hasn't arrived yet
                 pending.popleft()
-                self._fill_slot(slot, idx, *req)
+                self._fill_slot(slot, idx, *req, pre=pre)
                 active[slot] = True
 
         while pending or np.asarray(self.state.active).any():

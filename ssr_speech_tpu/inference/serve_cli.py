@@ -94,8 +94,11 @@ def _serve_stream(args, params, cfg, dec, phn2num, text_tok, audio_tok,
     for job in prepared:
         x = pipeline.text_to_ids(text_tok, phn2num, job["target_text"])
         codes, _, _, _ = pipeline._encode(audio_tok, job["audio_path"])
+        # cut == 0 (target replaces everything) streams from an EMPTY prompt,
+        # matching the offline path — the server handles zero-frame prompts
+        # (tests/test_stream_tts.py::test_streaming_server_empty_prompt)
         cut = int(job["mask_interval"][0][0])
-        requests.append((x, codes[0][:, :max(cut, 1)]))
+        requests.append((x, codes[0][:, :cut]))
 
     ts = cfg.tokens
     sx_max = max(len(x) for x, _ in requests)
@@ -136,9 +139,11 @@ def _serve_stream(args, params, cfg, dec, phn2num, text_tok, audio_tok,
             for k, (_, w, _) in enumerate(manifests[i]):
                 audio_io.write_wav(os.path.join(cdir, f"{k:04d}.wav"),
                                    w[:, 0], sr)
-        logging.info("streamed %s: %.2f s audio, TTFA %.0f ms, done %.2f s",
-                     job["savename"], wav.shape[0] / sr,
-                     1e3 * first_at[i], done_at[i])
+        # first_at is None when a job emitted no audio (e.g. immediate EOG)
+        ttfa = ("n/a" if first_at[i] is None
+                else f"{1e3 * first_at[i]:.0f} ms")
+        logging.info("streamed %s: %.2f s audio, TTFA %s, done %.2f s",
+                     job["savename"], wav.shape[0] / sr, ttfa, done_at[i])
 
 
 def main(argv=None):

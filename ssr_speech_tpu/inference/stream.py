@@ -340,8 +340,10 @@ class StreamingServer:
             y_prompt = np.asarray(y_prompt, np.int32)
             T = y_prompt.shape[1]
             x = np.asarray(x, np.int32)
-            srv.validate_request(x, y_prompt, [(T, T)])
-            norm.append((x, y_prompt, [(T, T)]))
+            # fail fast; keep the validated tuple for the fill (the prefix
+            # isn't rebuilt at prefill time)
+            pre = srv.validate_request(x, y_prompt, [(T, T)])
+            norm.append((x, y_prompt, [(T, T)], pre))
         t0 = clock()
         order = sorted(range(len(requests)), key=lambda i: arrival_times[i])
         pending = deque((i, norm[i]) for i in order)
@@ -356,11 +358,11 @@ class StreamingServer:
             for slot in range(S):
                 if not pending or lanes[slot] is not None:
                     continue
-                idx, (x, y_prompt, mask) = pending[0]
+                idx, (x, y_prompt, mask, pre) = pending[0]
                 if arrival_times[idx] > clock() - t0:
                     break  # FIFO: head hasn't arrived yet
                 pending.popleft()
-                srv._fill_slot(slot, idx, x, y_prompt, mask)
+                srv._fill_slot(slot, idx, x, y_prompt, mask, pre=pre)
                 warms.append((slot, idx, y_prompt))
                 reset_mask[slot] = True
             if reset_mask.any():
@@ -386,7 +388,6 @@ class StreamingServer:
                     jnp.copy(srv.state.out))
             srv._run_chunk(F)
             done_h, len_h, out_h = jax.device_get(refs)
-            now = clock() - t0
             for slot in range(S):
                 lane = lanes[slot]
                 if lane is None or lane.eos:

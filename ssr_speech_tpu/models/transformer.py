@@ -132,7 +132,7 @@ def transformer_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     dtype=jnp.float32,
-    remat="full",  # "full" | "dots" | "none" (bools accepted: True/False)
+    remat="full",  # "full" | "dots" | "mixed" | "none" (bools: True/False)
     act_sharding=None,
     unroll: bool = False,
     key_valid: Optional[jnp.ndarray] = None,
@@ -219,9 +219,12 @@ def transformer_forward(
         # trades HBM for fewer recomputed matmuls in the backward.
         scan_body = (jax.checkpoint(body, policy=REMAT_POLICY)
                      if REMAT_POLICY is not None else jax.checkpoint(body))
-    elif mode == "dots":
+    elif mode in ("dots", "mixed"):
         # save matmul outputs, recompute elementwise only — viable when the
-        # attention is fused (no [B,H,S,S] dot output to keep)
+        # attention is fused (no [B,H,S,S] dot output to keep). "mixed"
+        # additionally leaves every other UNROLLED layer un-rematted (save
+        # everything): a memory point between "dots" (fits 16 GB at B=4)
+        # and "none" (compiler OOM); under the scan it degrades to "dots".
         scan_body = jax.checkpoint(
             body, policy=jax.checkpoint_policies.dots_saveable)
     elif mode == "none":
@@ -232,7 +235,8 @@ def transformer_forward(
         carry = (_pin(h), rng)
         for l in range(cfg.num_layers):
             lp = jax.tree.map(lambda a: a[l], params["layers"])
-            carry, _ = scan_body(carry, lp)
+            lbody = body if (mode == "mixed" and l % 2 == 0) else scan_body
+            carry, _ = lbody(carry, lp)
         h = carry[0]
     else:
         (h, _), _ = jax.lax.scan(scan_body, (_pin(h), rng), params["layers"])

@@ -23,6 +23,7 @@ because inside ``shard_map`` the collectives are explicit.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Any, Dict, Optional
 
 import jax
@@ -280,6 +281,15 @@ def make_pp_train_step(
 
     pp = mesh.shape["pp"]
     n_micro = n_micro or 2 * pp
+    if cfg.attn_impl == "flash" or cfg.remat not in ("full", True):
+        # the pipeline stage body always uses einsum attention with its own
+        # per-layer remat: microbatches are small (B/n_micro), so the
+        # [mb,H,S,S] scores that motivated flash+relaxed-remat on the
+        # single-chip step stay tiny here. Numerics are identical; warn so
+        # the dropped speed/memory policy isn't silent.
+        logging.getLogger(__name__).warning(
+            "pp train step ignores attn_impl=%r/remat=%r (einsum attention "
+            "+ per-layer remat per microbatch)", cfg.attn_impl, cfg.remat)
     if unroll is None:  # unroll the per-stage layer loop on TPU (1.58x)
         unroll = jax.default_backend() in ("tpu", "axon")
     compute_dtype = jnp.bfloat16 if tcfg.precision == "bfloat16" else jnp.float32

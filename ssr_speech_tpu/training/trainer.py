@@ -161,8 +161,13 @@ def make_train_step(
     )
 
 
-def make_eval_step(cfg: SSRModelConfig, tcfg: TrainConfig):
+def make_eval_step(cfg: SSRModelConfig, tcfg: TrainConfig, mesh=None):
     compute_dtype = jnp.bfloat16 if tcfg.precision == "bfloat16" else jnp.float32
+    # same shard_map wrapping as the train step: without it the Pallas flash
+    # call has no GSPMD rule and the first validation on a mesh fails
+    flash_sharding = None
+    if cfg.attn_impl == "flash" and mesh is not None:
+        flash_sharding = (mesh, P("dp", "tp", None, None))
 
     @jax.jit
     def eval_step(params, batch):
@@ -172,6 +177,7 @@ def make_eval_step(cfg: SSRModelConfig, tcfg: TrainConfig):
             predict_mask_token=tcfg.masking.predict_mask_token,
             predict_all=tcfg.masking.predict_all,
             codebook_weight=tcfg.codebook_weight,
+            flash_sharding=flash_sharding,
         )
         return dict(loss=out["loss"], top10acc=out["top10acc"],
                     ntokens=out["effective_ntoken"],
@@ -234,7 +240,7 @@ class Trainer:
             self.train_step = make_train_step(
                 cfg, tcfg, self.optimizer, mesh,
                 sequence_parallel=sequence_parallel, unroll=unroll)
-        self.eval_step = make_eval_step(cfg, tcfg)
+        self.eval_step = make_eval_step(cfg, tcfg, mesh=mesh)
         self.progress = dict(step=0, epoch=0, cur_step=0, best_step=0,
                              best_score=float("inf"))
         self.meters = {k: AverageMeter() for k in

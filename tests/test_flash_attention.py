@@ -178,3 +178,36 @@ def test_kernel_matches_fallback_tpu():
             np.asarray(got, np.float32)[bi][:, valid[bi]],
             np.asarray(want, np.float32)[bi][:, valid[bi]],
             atol=3e-2, rtol=3e-2)
+
+
+def test_mixed_remat_grads_match_none():
+    """remat="mixed" (every other unrolled layer un-rematted) is a pure
+    memory policy: grads match remat="none" (and "dots") to XLA fusion
+    reassociation tolerance — checkpointing recomputes the same math."""
+    kw = dict(d_model=32, nhead=2, num_layers=4, audio_embedding_dim=32,
+              n_codebooks=2, text_vocab_size=20, trm_dropout=0.0,
+              text_embedding_dropout=0.0,
+              text_positional_embedding_dropout=0.0,
+              audio_positional_embedding_dropout=0.0)
+    rng = np.random.default_rng(11)
+    cfg = SSRModelConfig(attn_impl="flash", **kw)
+    params = ssr_model.init_ssr(jax.random.PRNGKey(2), cfg)
+    B, sx, sy = 2, 5, 13
+    ts = cfg.tokens
+    batch = dict(
+        x=jnp.asarray(rng.integers(0, 20, size=(B, sx)), jnp.int32),
+        x_lens=jnp.asarray([5, 3], jnp.int32),
+        y=jnp.asarray(rng.integers(0, ts.audio_vocab_size, size=(B, sy, 2)),
+                      jnp.int32),
+        y_lens=jnp.asarray([13, 9], jnp.int32))
+
+    def loss(p, remat):
+        return ssr_model.ssr_forward(p, cfg, batch, unroll=True,
+                                     remat=remat)["loss"]
+
+    g_none = jax.jit(jax.grad(loss), static_argnums=1)(params, "none")
+    for mode in ("mixed", "dots"):
+        g = jax.jit(jax.grad(loss), static_argnums=1)(params, mode)
+        for a, b in zip(jax.tree.leaves(g_none), jax.tree.leaves(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-6)

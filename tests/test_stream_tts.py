@@ -190,3 +190,38 @@ def test_tp_streaming_server_matches_single(models):
     for (c0, w0), (c1, w1) in zip(r0, r1):
         np.testing.assert_array_equal(c0, c1)
         np.testing.assert_allclose(w0, w1, atol=2e-5, rtol=1e-4)
+
+
+def test_streaming_server_empty_prompt(models):
+    """A zero-frame prompt (TTS job whose mask starts at frame 0, i.e. the
+    target replaces everything) streams fine and matches the offline
+    generate exactly — serve_cli --stream relies on this instead of padding
+    a fake 1-frame prompt from the source audio."""
+    lm, codec = models
+    rng = np.random.default_rng(21)
+    sx = 40
+    x = rng.integers(0, CFG.text_vocab_size - 1, size=(sx,))
+    y0 = np.zeros((CFG.n_codebooks, 0), np.int32)
+    dec_cfg = DecodeConfig(top_k=1, top_p=1.0, stop_repetition=-1,
+                           cfg_coef=1.5, cfg_stride=2, aug_text=True,
+                           cfg_pretrained=True, max_gen_per_span=60,
+                           length_cap_mult=10)
+    server = stream.StreamingServer(lm, CFG, dec_cfg, codec, CODEC, 2,
+                                    chunk_frames=16, sx_pad=64, p_pad=64,
+                                    dtype_name="float32")
+    results, first_at, done_at = server.run_online(
+        [(x, y0)], [0.0], rng=jax.random.PRNGKey(5))
+    got_codes, got_wav = results[0]
+    assert got_codes.shape[1] > 0 and first_at[0] is not None
+
+    codes, marks, out_iv, nm = decode.generate(
+        lm, CFG, dec_cfg, x, y0, [(0, 0)], jax.random.PRNGKey(5),
+        tmax=256, dtype_name="float32")
+    np.testing.assert_array_equal(got_codes, codes[0])
+    full = np.asarray(seanet.decode(
+        codec["decoder"],
+        q.rvq_decode(codec["quantizer"], jnp.asarray(codes[:1])),
+        CODEC.seanet))
+    np.testing.assert_allclose(
+        got_wav, full[0, : got_codes.shape[1] * CODEC.hop_length],
+        atol=2e-5, rtol=1e-4)

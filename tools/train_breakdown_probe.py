@@ -1,0 +1,128 @@
+"""Where do the 385 ms of the 830M flash/dots train step go?
+
+One PHASE per process (the 16 GB chip cannot hold the fwd executable, the
+bare-grad executable, the optimizer state, and the full step at once; the
+persistent compile cache makes multi-process cheap):
+
+  fwd     jitted loss forward only
+  grad    jitted bare grad (no optimizer state allocated)
+  optim   ScaledAdam update on synthetic grads + the NaN finite-check
+  step    the full production train step (reference total)
+
+Usage: python tools/train_breakdown_probe.py <phase> [remat_mode]
+e.g.   for p in fwd grad optim step; do python tools/train_breakdown_probe.py $p dots; done
+
+The deltas bound what each phase can win: if grad - 3*fwd is large the
+dots_saveable recompute tax is visible; if step - grad - optim is large the
+glue (where-apply, metrics) is worth attention.
+"""
+import os
+import sys
+import time
+
+t00 = time.time()
+
+
+def log(m):
+    print(f"[{time.time()-t00:7.1f}s] {m}", flush=True)
+
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, '/root/repo')
+from ssr_speech_tpu.config import OptimConfig, SSRModelConfig, TrainConfig
+from ssr_speech_tpu.models import ssr as ssr_model
+from ssr_speech_tpu.training import optim as optimlib
+from ssr_speech_tpu.training.trainer import make_train_step
+
+B, sx, sy = int(os.environ.get("PROBE_B", 4)), 192, 1024
+N = 10
+
+
+def _sync(out):
+    # block_until_ready is unreliable on the experimental axon backend
+    # (returns before execution); a host pull of one element is a true sync
+    return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+
+def bench(fn, *args, n=N):
+    out = fn(*args)  # compile
+    _sync(out)
+    t0 = time.time()
+    for _ in range(n):
+        # rebind (not append): a grad-sized output pytree is 3.3 GB — keeping
+        # all n of them OOMs the chip; in-order execution still serializes
+        out = fn(*args)
+    _sync(out)
+    return (time.time() - t0) / n
+
+
+def main(phase, remat):
+    rng = np.random.default_rng(0)
+    cfg = SSRModelConfig(d_model=2048, nhead=16, num_layers=16, n_codebooks=4,
+                         text_vocab_size=120, attn_impl="flash", remat=remat)
+    tcfg = TrainConfig(precision="bfloat16",
+                       optim=OptimConfig(optimizer_name="scaledadam",
+                                         clipping_scale=2.0))
+    params = ssr_model.init_ssr(jax.random.PRNGKey(0), cfg)
+    n_params = ssr_model.param_count(params)
+    opt, _ = optimlib.build_optimizer(tcfg.optim)
+    ts = cfg.tokens
+    batch = jax.device_put(dict(
+        x=rng.integers(0, cfg.text_vocab_size, size=(B, sx)).astype(np.int32),
+        x_lens=np.full(B, sx, np.int32),
+        y=rng.integers(0, ts.audio_vocab_size, size=(B, sy, 4)).astype(np.int32),
+        y_lens=np.full(B, sy, np.int32)))
+    key = jax.random.PRNGKey(1)
+
+    def loss_fn(params, batch, rng):
+        out = ssr_model.ssr_forward(
+            params, cfg, batch, deterministic=False, rng=rng,
+            compute_dtype=jnp.bfloat16, unroll=True, remat=remat)
+        return out["loss"]
+
+    if phase == "fwd":
+        t = bench(jax.jit(loss_fn), params, batch, key)
+        log(f"[{remat}] fwd          {t*1000:7.1f} ms")
+    elif phase == "grad":
+        t = bench(jax.jit(jax.grad(loss_fn)), params, batch, key)
+        log(f"[{remat}] fwd+bwd      {t*1000:7.1f} ms")
+    elif phase == "optim":
+        # synthetic grads stand in for the real ones (same shapes/dtypes)
+        grads = jax.jit(lambda p: jax.tree.map(
+            lambda a: (a * 1e-4).astype(jnp.float32), p))(params)
+        finite = jax.jit(lambda gs: jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(gs)])))
+        t_fin = bench(finite, grads)
+        log(f"[{remat}] finite-check {t_fin*1000:7.1f} ms")
+        opt_state = opt.init(params)
+        t = bench(jax.jit(lambda g, s, p: opt.update(g, s, p)),
+                  grads, opt_state, params)
+        log(f"[{remat}] optim update {t*1000:7.1f} ms")
+    elif phase == "step":
+        opt_state = opt.init(params)
+        step = make_train_step(cfg, tcfg, opt)
+        p2, s2, m = step(params, opt_state, batch, key)  # compile (donating)
+        float(m["loss"])
+        t0 = time.time()
+        for i in range(N):
+            p2, s2, m = step(p2, s2, batch, jax.random.PRNGKey(i))
+        float(m["loss"])
+        t = (time.time() - t0) / N
+        S = sx + sy
+        flops = 6 * n_params * B * S + 12 * B * S * S * 2048
+        log(f"[{remat}] FULL STEP    {t*1000:7.1f} ms  "
+            f"({B*sy/t:.0f} codec tok/s, MFU {flops/t/197e12*100:.1f}%)")
+    else:
+        raise SystemExit(f"unknown phase {phase}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "step",
+         sys.argv[2] if len(sys.argv) > 2 else "dots")
