@@ -1,0 +1,312 @@
+"""Stdlib HTTP streaming-TTS server over :meth:`StreamingServer.serve_loop`.
+
+The reference ships file-at-a-time CLIs (``inference_v2.py``) and a hosted
+gradio demo; a production deployment needs a socket API that streams audio
+while the LM decodes. This module is that surface, with no dependencies
+beyond the standard library:
+
+  POST /tts   body JSON:
+                ``text_ids``      [int]           phoneme ids, or
+                ``text``          str             when the server was built
+                                                  with a text frontend
+                ``prompt_codes``  [[int] x K]     optional codec prompt
+                                                  (omit/empty for cold TTS)
+              response: 200 ``audio/L16`` (signed 16-bit little-endian PCM,
+              mono) streamed chunk-by-chunk as frames become final;
+              ``X-Sample-Rate`` / ``X-Frame-Rate`` / ``X-Request-Id``
+              headers. 400 + JSON error for malformed/oversize requests
+              (validated BEFORE admission — a bad request never reaches the
+              serving loop).
+  GET /health response: 200 JSON {"status": "ok", "lanes": N, ...}.
+
+Architecture: handler threads (``ThreadingHTTPServer``) validate + enqueue
+and then block on a per-request emission queue; ONE engine thread drives
+``serve_loop`` — the TPU is programmed from a single thread, all
+concurrency lives in the lane dimension of the batched LM/codec programs.
+A client disconnect simply drains that request's remaining chunks (lanes
+are not preempted; the tail cost is bounded by the utterance cap).
+
+Responses use HTTP/1.0 close-delimited bodies (no Content-Length), the
+simplest wire format every client supports; the first PCM bytes arrive at
+time-to-first-audio, not at completion (locked by
+``tests/test_http_server.py::test_http_streams_before_completion``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def float_to_pcm16(wav: np.ndarray) -> bytes:
+    """[-1, 1] float mono waveform -> s16le bytes (clipped)."""
+    x = np.clip(np.asarray(wav, np.float32).reshape(-1), -1.0, 1.0)
+    return (x * 32767.0).round().astype("<i2").tobytes()
+
+
+class TTSHttpServer:
+    """HTTP front end for a :class:`~ssr_speech_tpu.inference.stream.
+    StreamingServer`.
+
+    server: the StreamingServer (owns the compiled LM + codec programs).
+    text_to_ids: optional ``str -> np.ndarray[int32]`` frontend enabling the
+    JSON ``text`` field (e.g. ``pipeline.text_to_ids`` with a phonemizer +
+    phn2num); without it only ``text_ids`` is accepted.
+    sample_rate: advertised in ``X-Sample-Rate`` (the codec's rate).
+    """
+
+    def __init__(
+        self,
+        server,
+        *,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        text_to_ids: Optional[Callable[[str], np.ndarray]] = None,
+        sample_rate: int = 16000,
+        rng=None,
+        max_queue: int = 256,
+    ):
+        self._srv = server
+        self._text_to_ids = text_to_ids
+        self._sample_rate = sample_rate
+        self._rng = rng
+        self._pending: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._emit = {}  # req_id -> per-request emission queue
+        self._emit_lock = threading.Lock()
+        self._next_id = 0
+        self._stop = threading.Event()
+        self._engine_err: Optional[str] = None
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self._httpd.daemon_threads = True
+        self._engine = threading.Thread(target=self._run_engine,
+                                        name="tts-engine", daemon=True)
+        self._http_thread = threading.Thread(
+            target=self._httpd.serve_forever, name="tts-http", daemon=True)
+
+    # --------------------------------------------------------------- engine
+
+    def _poll(self):
+        try:
+            return self._pending.get_nowait()
+        except queue.Empty:
+            return None
+
+    def _q(self, req_id):
+        with self._emit_lock:
+            return self._emit.get(req_id)
+
+    def _on_chunk(self, req_id, codes, wav, t):
+        q = self._q(req_id)
+        if q is not None:
+            q.put(("chunk", wav, t))
+
+    def _on_done(self, req_id, codes, wav, first_at, t):
+        q = self._q(req_id)
+        if q is not None:
+            q.put(("done", first_at, t))
+        with self._emit_lock:
+            self._emit.pop(req_id, None)
+
+    def _run_engine(self):
+        try:
+            self._srv.serve_loop(
+                self._poll, on_chunk=self._on_chunk, on_done=self._on_done,
+                rng=self._rng, should_stop=self._stop.is_set)
+        except Exception as e:  # pragma: no cover - defensive
+            logger.exception("serving engine died")
+            self._engine_err = f"{type(e).__name__}: {e}"
+            with self._emit_lock:
+                qs, self._emit = list(self._emit.values()), {}
+            for q in qs:
+                q.put(("error", self._engine_err))
+
+    # ------------------------------------------------------------ lifecycle
+
+    @property
+    def address(self):
+        """(host, port) actually bound (port 0 resolves at construction)."""
+        return self._httpd.server_address
+
+    def start(self):
+        self._engine.start()
+        self._http_thread.start()
+        return self
+
+    def shutdown(self):
+        """Stop accepting work, drain in-flight lanes, stop both threads."""
+        self._stop.set()
+        self._engine.join(timeout=60)
+        self._httpd.shutdown()
+        self._http_thread.join(timeout=10)
+        self._httpd.server_close()
+
+    # ------------------------------------------------------------- handlers
+
+    def _admit(self, payload):
+        """Validate + enqueue one request. Returns (req_id, emit_queue);
+        raises ValueError with a client-facing message."""
+        if self._engine_err:
+            raise RuntimeError(self._engine_err)
+        if "text_ids" in payload:
+            x = np.asarray(payload["text_ids"], np.int32)
+            if x.ndim != 1:
+                raise ValueError("text_ids must be a flat int list")
+        elif "text" in payload:
+            if self._text_to_ids is None:
+                raise ValueError(
+                    "server has no text frontend; send text_ids")
+            x = np.asarray(self._text_to_ids(payload["text"]), np.int32)
+        else:
+            raise ValueError("need text_ids or text")
+        K = self._srv.cfg.n_codebooks
+        pc = payload.get("prompt_codes")
+        y = (np.zeros((K, 0), np.int32) if pc in (None, [])
+             else np.asarray(pc, np.int32))
+        if y.ndim != 2 or y.shape[0] != K:
+            raise ValueError(f"prompt_codes must be [{K}, T]")
+        prepared = self._srv.prepare_request(x, y)  # raises on geometry
+        q: "queue.Queue" = queue.Queue()
+        with self._emit_lock:
+            req_id = self._next_id
+            self._next_id += 1
+            self._emit[req_id] = q
+        try:
+            self._pending.put_nowait((req_id, prepared))
+        except queue.Full:
+            with self._emit_lock:
+                self._emit.pop(req_id, None)
+            raise ValueError("server queue full, retry later")
+        return req_id, q
+
+    def _make_handler(outer):  # noqa: N805 - closure over the server
+        class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.0: close-delimited streaming bodies, no chunked framing
+            protocol_version = "HTTP/1.0"
+
+            def log_message(self, fmt, *args):
+                logger.debug("http: " + fmt, *args)
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path != "/health":
+                    return self._json(404, {"error": "unknown path"})
+                st = ("error" if outer._engine_err else
+                      "stopping" if outer._stop.is_set() else "ok")
+                self._json(200, dict(
+                    status=st, lanes=outer._srv._server.S,
+                    pending=outer._pending.qsize(),
+                    sample_rate=outer._sample_rate,
+                    error=outer._engine_err))
+
+            def do_POST(self):
+                if self.path != "/tts":
+                    return self._json(404, {"error": "unknown path"})
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    req_id, q = outer._admit(payload)
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    return self._json(400, {"error": str(e)})
+                except RuntimeError as e:
+                    return self._json(503, {"error": str(e)})
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/L16")
+                self.send_header("X-Sample-Rate", str(outer._sample_rate))
+                self.send_header("X-Frame-Rate",
+                                 str(outer._srv.codec_cfg.frame_rate))
+                self.send_header("X-Request-Id", str(req_id))
+                self.end_headers()
+                try:
+                    while True:
+                        kind, *rest = q.get()
+                        if kind == "chunk":
+                            self.wfile.write(float_to_pcm16(rest[0]))
+                            self.wfile.flush()
+                        elif kind == "done":
+                            return
+                        else:  # error
+                            return  # body truncation signals the failure
+                except (BrokenPipeError, ConnectionResetError):
+                    # client went away: drop the emission queue; the lane
+                    # finishes its (bounded) utterance and recycles
+                    with outer._emit_lock:
+                        outer._emit.pop(req_id, None)
+
+        return Handler
+
+
+def main(argv=None):
+    """``python -m ssr_speech_tpu.inference.http_server`` — load bundles,
+    serve until SIGINT. Same bundle format as the other CLIs."""
+    import argparse
+
+    import jax
+
+    from ..config import DecodeConfig
+    from .cli import load_codec, load_lm
+    from . import stream as stream_mod
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--codec_path", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--n_slots", type=int, default=8)
+    p.add_argument("--chunk_frames", type=int, default=25)
+    p.add_argument("--sx_pad", type=int, default=128)
+    p.add_argument("--p_pad", type=int, default=512)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=0.8)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--cfg_coef", type=float, default=1.5)
+    p.add_argument("--cfg_stride", type=int, default=5)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    params, cfg, phn2num = load_lm(args.model_path)
+    audio_tok = load_codec(args.codec_path)
+    dec = DecodeConfig(top_k=args.top_k, top_p=args.top_p,
+                       temperature=args.temperature, cfg_coef=args.cfg_coef,
+                       cfg_stride=args.cfg_stride, aug_text=True,
+                       cfg_pretrained=True, stop_repetition=-1)
+    server = stream_mod.StreamingServer(
+        params, cfg, dec, audio_tok.params, audio_tok.cfg, args.n_slots,
+        chunk_frames=args.chunk_frames, sx_pad=args.sx_pad, p_pad=args.p_pad)
+
+    def text_to_ids(text):
+        from ..data.tokenizer import TextTokenizer
+        from .pipeline import text_to_ids as t2i
+        if not hasattr(text_to_ids, "_tok"):
+            text_to_ids._tok = TextTokenizer()
+        return t2i(text_to_ids._tok, phn2num, text)
+
+    http = TTSHttpServer(server, host=args.host, port=args.port,
+                         text_to_ids=text_to_ids,
+                         sample_rate=audio_tok.sample_rate,
+                         rng=jax.random.PRNGKey(args.seed)).start()
+    logger.info("serving TTS on http://%s:%d (%d lanes)",
+                *http.address, args.n_slots)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        http.shutdown()
+
+
+if __name__ == "__main__":
+    main()

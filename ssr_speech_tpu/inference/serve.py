@@ -305,6 +305,15 @@ class ContinuousBatcher:
         cfg, dec, ts = self.cfg, self.dec, self.cfg.tokens
         x = np.asarray(x, np.int32)
         y = np.asarray(y, np.int32)
+        # token-range checks: out-of-range ids from an external client would
+        # otherwise silently clip in jnp embedding lookups (or crash a codec
+        # warm-decode mid-run, killing every in-flight lane)
+        if x.size and (x.min() < 0 or x.max() >= cfg.text_vocab_size):
+            raise ValueError(
+                f"text ids out of range [0, {cfg.text_vocab_size})")
+        if y.size and (y.min() < 0 or y.max() >= ts.audio_vocab_size):
+            raise ValueError(
+                f"audio codes out of range [0, {ts.audio_vocab_size})")
         prefix, _, ntask, nm = patterns.build_inference_prefix(
             y, list(mask), ts)
         if len(x) > self.sx_pad or prefix.shape[1] > self.p_pad:

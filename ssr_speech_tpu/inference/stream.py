@@ -304,26 +304,43 @@ class StreamingServer:
 
     # ------------------------------------------------------------------- API
 
-    def run_online(
+    def prepare_request(self, x, y_prompt) -> Tuple:
+        """Normalize + validate one TTS request (text ids, prompt codes
+        [K, T] — T may be 0). Raises on geometry violations; returns the
+        opaque prepared tuple :meth:`serve_loop`'s ``poll`` must supply —
+        callers (e.g. the HTTP server) validate at ADMISSION time so a bad
+        request is rejected up front instead of killing the serving loop."""
+        y_prompt = np.asarray(y_prompt, np.int32)
+        T = y_prompt.shape[1]
+        x = np.asarray(x, np.int32)
+        pre = self._server.validate_request(x, y_prompt, [(T, T)])
+        return (x, y_prompt, [(T, T)], pre)
+
+    def serve_loop(
         self,
-        requests: Sequence[Tuple],
-        arrival_times: Sequence[float],
+        poll,
         on_chunk=None,
+        on_done=None,
         rng: Optional[jax.Array] = None,
         clock=None,
+        should_stop=None,
+        on_idle=None,
     ):
-        """Serve TTS requests (each ``(x, y_prompt)``) arriving at
-        ``arrival_times`` seconds after the call; each request's waveform is
-        streamed through ``on_chunk(req_idx, codes [K,f], wav [f*hop, ch],
-        t)`` as it becomes final (``t`` = seconds since call, the emission
-        time on the arrival clock; ``f`` = ``first_chunk_frames``, the
-        emission granularity — boundary chunks may be shorter).
+        """Open-ended serving engine: pull requests forever, stream chunks.
 
-        Returns ``(results, first_chunk_at, done_at)``: ``results[i]`` is the
-        concatenated ``(codes [K,T], wav [T*hop, ch])`` of the generated
-        region, ``first_chunk_at[i]`` the first-audio emission time (TTFA =
-        ``first_chunk_at[i] - arrival_times[i]``), ``done_at[i]`` the final
-        chunk's emission time. ``clock`` is injectable for tests.
+        ``poll()`` → ``(req_id, prepared)`` with ``prepared`` from
+        :meth:`prepare_request`, or ``None`` when nothing is pending right
+        now (it is called only when a lane is free). ``on_chunk(req_id,
+        codes [K,f], wav [f*hop, ch], t)`` fires per emitted chunk;
+        ``on_done(req_id, codes [K,T], wav, first_at, t)`` fires once per
+        request with the concatenated stream (``t``/``first_at`` are seconds
+        on ``clock`` since loop start). The loop returns when
+        ``should_stop()`` is true and every lane is idle (default: runs
+        until all work is drained and ``poll`` keeps returning None —
+        suitable only when the caller stops it; pass ``should_stop``).
+        ``on_idle(now)`` is called when no lane is active and poll returned
+        None (default: 5 ms sleep) — give it a blocking wait to avoid
+        spinning. ``run_online`` is this loop driven by an arrival schedule.
         """
         import time as _time
 
@@ -334,53 +351,43 @@ class StreamingServer:
         S = srv.S
         K = self.cfg.n_codebooks
         F = self.chunk_frames
-
-        norm = []
-        for x, y_prompt in requests:
-            y_prompt = np.asarray(y_prompt, np.int32)
-            T = y_prompt.shape[1]
-            x = np.asarray(x, np.int32)
-            # fail fast; keep the validated tuple for the fill (the prefix
-            # isn't rebuilt at prefill time)
-            pre = srv.validate_request(x, y_prompt, [(T, T)])
-            norm.append((x, y_prompt, [(T, T)], pre))
+        if should_stop is None:
+            should_stop = lambda: False
+        if on_idle is None:
+            on_idle = lambda now: _time.sleep(0.005)
         t0 = clock()
-        order = sorted(range(len(requests)), key=lambda i: arrival_times[i])
-        pending = deque((i, norm[i]) for i in order)
         lanes: List[Optional[_Lane]] = [None] * S
-        results: List = [None] * len(requests)
-        first_at: List = [None] * len(requests)
-        done_at: List = [None] * len(requests)
 
         def fill_free_lanes():
             reset_mask = np.zeros((S,), bool)
             warms = []
             for slot in range(S):
-                if not pending or lanes[slot] is not None:
+                if lanes[slot] is not None:
                     continue
-                idx, (x, y_prompt, mask, pre) = pending[0]
-                if arrival_times[idx] > clock() - t0:
-                    break  # FIFO: head hasn't arrived yet
-                pending.popleft()
-                srv._fill_slot(slot, idx, x, y_prompt, mask, pre=pre)
-                warms.append((slot, idx, y_prompt))
+                item = poll()
+                if item is None:
+                    break
+                req_id, (x, y_prompt, mask, pre) = item
+                srv._fill_slot(slot, req_id, x, y_prompt, mask, pre=pre)
+                warms.append((slot, req_id, y_prompt))
                 reset_mask[slot] = True
             if reset_mask.any():
                 self._lane_codec.reset(reset_mask)
-            for slot, idx, y_prompt in warms:
+            for slot, req_id, y_prompt in warms:
                 # prompt bulk at batch=1 + state scatter; the (< warm chunk)
                 # remainder merges into the step queue
                 consumed = self._lane_codec.warm_lane(slot, y_prompt,
                                                       self.warm_chunk)
-                lanes[slot] = _Lane(idx, y_prompt[:, consumed:],
+                lanes[slot] = _Lane(req_id, y_prompt[:, consumed:],
                                     y_prompt.shape[1] - consumed)
 
-        while pending or any(l is not None for l in lanes):
-            if not any(l is not None for l in lanes) and pending:
-                wait = arrival_times[pending[0][0]] - (clock() - t0)
-                if wait > 0:
-                    _time.sleep(wait)
+        while True:
             fill_free_lanes()
+            if not any(l is not None for l in lanes):
+                if should_stop():
+                    return
+                on_idle(clock() - t0)
+                continue
             # snapshot THEN dispatch: the copies enqueue before the
             # (state-donating) LM chunk, so in-order device execution reads
             # them safely while the next chunk already decodes
@@ -413,16 +420,83 @@ class StreamingServer:
                 # the LM chunk just dispatched above no-ops for this lane (a
                 # harvestable lane falsifies its loop condition) — one idle
                 # dispatch per finish, then the lane refills next iteration
-                idx = lane.req_idx
-                results[idx] = (
-                    np.concatenate(lane.codes, axis=1) if lane.codes
-                    else np.zeros((K, 0), np.int32),
-                    np.concatenate(lane.wavs, axis=0) if lane.wavs
-                    else np.zeros((0, 1), np.float32))
-                first_at[idx] = lane.first_at
-                done_at[idx] = now
+                codes = (np.concatenate(lane.codes, axis=1) if lane.codes
+                         else np.zeros((K, 0), np.int32))
+                wav = (np.concatenate(lane.wavs, axis=0) if lane.wavs
+                       else np.zeros((0, 1), np.float32))
+                if on_done is not None:
+                    on_done(lane.req_idx, codes, wav, lane.first_at, now)
                 lanes[slot] = None
                 srv._slot_req[slot] = None
                 srv.state = srv.state._replace(
                     active=srv.state.active.at[slot].set(False))
+
+    def run_online(
+        self,
+        requests: Sequence[Tuple],
+        arrival_times: Sequence[float],
+        on_chunk=None,
+        rng: Optional[jax.Array] = None,
+        clock=None,
+    ):
+        """Serve TTS requests (each ``(x, y_prompt)``) arriving at
+        ``arrival_times`` seconds after the call; each request's waveform is
+        streamed through ``on_chunk(req_idx, codes [K,f], wav [f*hop, ch],
+        t)`` as it becomes final (``t`` = seconds since call, the emission
+        time on the arrival clock; ``f`` = ``first_chunk_frames``, the
+        emission granularity — boundary chunks may be shorter).
+
+        Returns ``(results, first_chunk_at, done_at)``: ``results[i]`` is the
+        concatenated ``(codes [K,T], wav [T*hop, ch])`` of the generated
+        region, ``first_chunk_at[i]`` the first-audio emission time (TTFA =
+        ``first_chunk_at[i] - arrival_times[i]``), ``done_at[i]`` the final
+        chunk's emission time. ``clock`` is injectable for tests.
+        """
+        import time as _time
+
+        clock = clock or _time.monotonic
+        # fail fast on EVERY request before any decoding
+        norm = [self.prepare_request(x, y) for x, y in requests]
+        order = sorted(range(len(requests)), key=lambda i: arrival_times[i])
+        pending = deque((i, norm[i]) for i in order)
+        results: List = [None] * len(requests)
+        first_at: List = [None] * len(requests)
+        done_at: List = [None] * len(requests)
+        t0 = [None]  # serve_loop's clock origin (its first clock() call)
+
+        def poll():
+            if t0[0] is None:
+                t0[0] = clock()
+            if not pending:
+                return None
+            idx, prepared = pending[0]
+            if arrival_times[idx] > clock() - t0[0]:
+                return None  # FIFO: head hasn't arrived yet
+            pending.popleft()
+            return idx, prepared
+
+        def on_idle(now):
+            if pending:  # idle until the next arrival
+                wait = arrival_times[pending[0][0]] - now
+                if wait > 0:
+                    _time.sleep(wait)
+
+        def on_done(idx, codes, wav, first, t):
+            results[idx] = (codes, wav)
+            first_at[idx] = first
+            done_at[idx] = t
+
+        # clock origin: serve_loop calls clock() once at entry, before poll
+        def loop_clock():
+            now = clock()
+            if t0[0] is None:
+                t0[0] = now
+            return now
+
+        self.serve_loop(
+            poll, on_chunk=on_chunk, on_done=on_done, rng=rng,
+            clock=loop_clock,
+            should_stop=lambda: not pending,
+            on_idle=on_idle,
+        )
         return results, first_at, done_at

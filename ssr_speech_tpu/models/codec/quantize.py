@@ -20,6 +20,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...config import RVQConfig
 
@@ -62,11 +63,19 @@ def rvq_encode(p: Params, emb: jnp.ndarray, n_q: int | None = None) -> jnp.ndarr
 
 def rvq_decode(p: Params, codes: jnp.ndarray) -> jnp.ndarray:
     """codes [B, K, F] -> latents [B, F, D] (sum of codebook vectors,
-    reference core_vq.py:396-400)."""
+    reference core_vq.py:396-400).
+
+    Indices are clipped to the codebook range first: XLA gathers clip
+    out-of-bounds indices anyway, but numpy raises — an LM emitting a
+    special token mid-stream (possible with untrained weights) would
+    otherwise crash a CPU serving loop while the TPU one plays on
+    (garbage either way; with trained weights the clip is a no-op)."""
     embed = p["embed"]
     out = 0.0
+    clip = np.clip if isinstance(codes, np.ndarray) else jnp.clip
+    idx = clip(codes, 0, embed.shape[1] - 1)
     for k in range(codes.shape[1]):
-        out = out + embed[k][codes[:, k]]
+        out = out + embed[k][idx[:, k]]
     return out
 
 

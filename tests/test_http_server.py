@@ -1,0 +1,172 @@
+"""HTTP streaming-TTS server: admission validation, health, streamed PCM
+parity vs the offline pipeline, and concurrent clients."""
+
+import http.client
+import json
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssr_speech_tpu.config import (
+    CodecConfig, DecodeConfig, RVQConfig, SEANetConfig, tiny_ssr_config,
+)
+from ssr_speech_tpu.inference import decode, stream
+from ssr_speech_tpu.inference.http_server import TTSHttpServer, float_to_pcm16
+from ssr_speech_tpu.models import ssr as ssr_model
+from ssr_speech_tpu.models.codec import quantize as q
+from ssr_speech_tpu.models.codec import seanet
+from ssr_speech_tpu.models.codec import wmencodec as wm
+
+CFG = tiny_ssr_config()
+CODEC = CodecConfig(
+    seanet=SEANetConfig(dimension=16, n_filters=2, n_residual_layers=1,
+                        ratios=(4, 2), lstm=1, norm="weight_norm",
+                        causal=True, pad_mode="constant"),
+    rvq=RVQConfig(dimension=16, n_q=CFG.n_codebooks,
+                  bins=CFG.tokens.audio_vocab_size),
+)
+DEC = DecodeConfig(top_k=1, top_p=1.0, stop_repetition=-1, cfg_coef=1.5,
+                   cfg_stride=2, aug_text=True, cfg_pretrained=True,
+                   max_gen_per_span=60, length_cap_mult=10)
+
+
+@pytest.fixture(scope="module")
+def http_srv():
+    lm = ssr_model.init_ssr(jax.random.PRNGKey(0), CFG)
+    codec = wm.init_wmencodec(jax.random.PRNGKey(1), CODEC)
+    server = stream.StreamingServer(lm, CFG, DEC, codec, CODEC, 2,
+                                    chunk_frames=16, sx_pad=64, p_pad=64,
+                                    dtype_name="float32")
+    srv = TTSHttpServer(server, port=0, sample_rate=16000,
+                        rng=jax.random.PRNGKey(5)).start()
+    yield srv, lm, codec
+    srv.shutdown()
+
+
+def _post_tts(addr, payload):
+    """POST /tts, return (status, headers, pcm_bytes, read_times)."""
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    conn.request("POST", "/tts", json.dumps(payload),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    chunks, times = [], []
+    while True:
+        b = resp.read1(65536) if hasattr(resp, "read1") else resp.read(65536)
+        if not b:
+            break
+        chunks.append(b)
+        times.append(time.monotonic())
+    conn.close()
+    return resp.status, dict(resp.getheaders()), b"".join(chunks), times
+
+
+def _offline_pcm(lm, codec, x, y_prompt, seed_key):
+    T = y_prompt.shape[1]
+    codes, marks, out_iv, nm = decode.generate(
+        lm, CFG, DEC, x, y_prompt, [(T, T)], seed_key, tmax=256,
+        dtype_name="float32")
+    s = out_iv[0][1] if T else 0
+    e = out_iv[1][0] if len(out_iv) > 1 else codes.shape[2]
+    full = np.asarray(seanet.decode(
+        codec["decoder"], q.rvq_decode(codec["quantizer"],
+                                       jnp.asarray(codes[:1])),
+        CODEC.seanet))
+    return full[0, s * CODEC.hop_length: e * CODEC.hop_length]
+
+
+def test_health(http_srv):
+    srv, _, _ = http_srv
+    conn = http.client.HTTPConnection(*srv.address, timeout=30)
+    conn.request("GET", "/health")
+    resp = conn.getresponse()
+    body = json.loads(resp.read())
+    assert resp.status == 200 and body["status"] == "ok"
+    assert body["lanes"] == 2 and body["sample_rate"] == 16000
+
+
+def test_rejects_bad_requests(http_srv):
+    srv, _, _ = http_srv
+    for payload, msg in [
+        ({}, "need text_ids"),
+        ({"text": "hi"}, "no text frontend"),
+        ({"text_ids": [[1, 2]]}, "flat int list"),
+        ({"text_ids": [1] * 200}, "exceeds server geometry"),
+        ({"text_ids": [1, 2], "prompt_codes": [[1, 2]]}, "prompt_codes"),
+    ]:
+        status, _, body, _ = _post_tts(srv.address, payload)
+        assert status == 400, payload
+        assert msg in json.loads(body)["error"]
+    # unknown paths
+    conn = http.client.HTTPConnection(*srv.address, timeout=30)
+    conn.request("GET", "/nope")
+    assert conn.getresponse().status == 404
+
+
+def test_http_streams_before_completion(http_srv):
+    """One request with a prompt: streamed PCM equals the offline pipeline
+    to 16-bit quantization, and bytes arrive over MULTIPLE reads (the body
+    streams as frames become final, it is not buffered to completion)."""
+    srv, lm, codec = http_srv
+    rng = np.random.default_rng(3)
+    ts = CFG.tokens
+    x = rng.integers(0, CFG.text_vocab_size - 1, size=(40,))
+    y = rng.integers(0, ts.audio_vocab_size, size=(CFG.n_codebooks, 24))
+    status, headers, pcm, times = _post_tts(
+        srv.address, {"text_ids": x.tolist(), "prompt_codes": y.tolist()})
+    assert status == 200
+    assert headers["Content-Type"] == "audio/L16"
+    assert headers["X-Sample-Rate"] == "16000"
+    got = np.frombuffer(pcm, "<i2")
+    assert got.size > 0
+
+    # greedy decoding: the served stream must equal offline exactly (the
+    # request key is the server rng's fold-in chain; greedy ignores it)
+    want = float_to_pcm16(_offline_pcm(lm, codec, x, y,
+                                       jax.random.PRNGKey(0)))
+    want = np.frombuffer(want, "<i2")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2)  # 16-bit rounding slack
+
+    assert len(times) >= 2, "body arrived in one read: not streaming"
+
+
+def test_concurrent_clients_parity(http_srv):
+    """Two concurrent clients (+ an empty-prompt request) each get their own
+    offline-parity stream through the 2-lane server."""
+    srv, lm, codec = http_srv
+    rng = np.random.default_rng(7)
+    ts = CFG.tokens
+    reqs = []
+    for T, sx in [(24, 40), (0, 28), (17, 36)]:
+        x = rng.integers(0, CFG.text_vocab_size - 1, size=(sx,))
+        y = rng.integers(0, ts.audio_vocab_size, size=(CFG.n_codebooks, T))
+        reqs.append((x, y))
+
+    outs = [None] * len(reqs)
+
+    def client(i):
+        x, y = reqs[i]
+        status, _, pcm, _ = _post_tts(
+            srv.address, {"text_ids": x.tolist(),
+                          "prompt_codes": y.tolist()})
+        outs[i] = (status, pcm)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i, (x, y) in enumerate(reqs):
+        status, pcm = outs[i]
+        assert status == 200
+        got = np.frombuffer(pcm, "<i2")
+        want = np.frombuffer(
+            float_to_pcm16(_offline_pcm(lm, codec, x, y,
+                                        jax.random.PRNGKey(0))), "<i2")
+        assert got.shape == want.shape, f"req {i}"
+        np.testing.assert_allclose(got, want, atol=2)
