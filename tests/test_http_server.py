@@ -170,3 +170,42 @@ def test_concurrent_clients_parity(http_srv):
                                         jax.random.PRNGKey(0))), "<i2")
         assert got.shape == want.shape, f"req {i}"
         np.testing.assert_allclose(got, want, atol=2)
+
+
+def test_client_disconnect_frees_lane(http_srv):
+    """A client that drops mid-stream must not wedge the engine: its lane
+    finishes the (bounded) utterance, the dead socket's BrokenPipe drops the
+    emission queue, and a SUBSEQUENT request is served normally."""
+    srv, lm, codec = http_srv
+    rng = np.random.default_rng(11)
+    ts = CFG.tokens
+    x = rng.integers(0, CFG.text_vocab_size - 1, size=(40,))
+    y = rng.integers(0, ts.audio_vocab_size, size=(CFG.n_codebooks, 24))
+
+    # raw socket: send the request, read ONLY the status line, slam shut
+    import socket
+
+    body = json.dumps({"text_ids": x.tolist(),
+                       "prompt_codes": y.tolist()}).encode()
+    sock = socket.create_connection(srv.address, timeout=120)
+    sock.sendall(b"POST /tts HTTP/1.0\r\nContent-Type: application/json\r\n"
+                 + b"Content-Length: %d\r\n\r\n" % len(body) + body)
+    head = sock.recv(64)
+    assert head.startswith(b"HTTP/1.0 200"), head
+    sock.close()  # mid-stream disconnect (before the body drains)
+
+    # the engine must still serve the next client with exact parity
+    status, _, pcm, _ = _post_tts(
+        srv.address, {"text_ids": x.tolist(), "prompt_codes": y.tolist()})
+    assert status == 200
+    got = np.frombuffer(pcm, "<i2")
+    want = np.frombuffer(
+        float_to_pcm16(_offline_pcm(lm, codec, x, y,
+                                    jax.random.PRNGKey(0))), "<i2")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2)
+    # and the dropped request's emission queue must be gone (no leak)
+    deadline = time.monotonic() + 60
+    while srv._emit and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert not srv._emit, "disconnected request's emission queue leaked"
