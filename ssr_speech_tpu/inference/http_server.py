@@ -18,6 +18,8 @@ beyond the standard library:
               (validated BEFORE admission — a bad request never reaches the
               serving loop).
   GET /health response: 200 JSON {"status": "ok", "lanes": N, ...}.
+  GET /       browser demo page (type text / ids, hear the stream as it
+              decodes — the stand-in for the reference's hosted demo).
 
 Architecture: handler threads (``ThreadingHTTPServer``) validate + enqueue
 and then block on a per-request emission queue; ONE engine thread drives
@@ -44,6 +46,70 @@ from typing import Callable, Optional
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+# Browser demo served at GET / — the tpu-native stand-in for the reference's
+# hosted gradio demo (reference README.md points at a HF space): type text,
+# hear the stream as it decodes. Stdlib-served static page; the JS plays the
+# s16le body through WebAudio with a small jitter buffer and reports
+# time-to-first-audio. __HAS_TEXT__ is templated at request time.
+DEMO_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>ssr_speech_tpu TTS</title><style>
+body{font-family:system-ui,sans-serif;max-width:640px;margin:3em auto;padding:0 1em}
+textarea,input{width:100%;box-sizing:border-box;font:inherit;padding:.5em}
+button{font:inherit;padding:.5em 1.5em;margin-top:.7em;cursor:pointer}
+#status{margin-top:1em;color:#444;white-space:pre-line}
+small{color:#777}</style></head><body>
+<h2>ssr_speech_tpu &mdash; streaming TTS</h2>
+<p><small>Audio plays while the LM decodes; the first chunk arrives at
+time-to-first-audio, not at completion.</small></p>
+<div id="textbox" style="display:__TEXT_DISPLAY__">
+<label>Text<br><textarea id="text" rows="3">hello from the streaming tts server</textarea></label></div>
+<div id="idsbox" style="display:__IDS_DISPLAY__">
+<label>Phoneme ids (comma separated)<br><input id="ids" value="3,5,7,9,11,2,4"></label></div>
+<button id="go">Speak</button>
+<div id="status"></div>
+<script>
+const st = document.getElementById('status');
+document.getElementById('go').onclick = async () => {
+  const hasText = __HAS_TEXT__;
+  const payload = hasText
+    ? {text: document.getElementById('text').value}
+    : {text_ids: document.getElementById('ids').value.split(',')
+        .map(s => parseInt(s.trim(), 10)).filter(Number.isFinite)};
+  st.textContent = 'requesting\\u2026';
+  const t0 = performance.now();
+  const ctx = new (window.AudioContext || window.webkitAudioContext)();
+  let resp;
+  try { resp = await fetch('/tts', {method: 'POST', body: JSON.stringify(payload)}); }
+  catch (e) { st.textContent = 'fetch failed: ' + e; return; }
+  if (!resp.ok) { st.textContent = 'error ' + resp.status + ': ' + await resp.text(); return; }
+  const sr = parseInt(resp.headers.get('X-Sample-Rate') || '16000', 10);
+  const reader = resp.body.getReader();
+  let t = ctx.currentTime + 0.25, carry = new Uint8Array(0), total = 0, ttfa = null;
+  while (true) {
+    const {done, value} = await reader.read();
+    if (done) break;
+    if (ttfa === null) { ttfa = performance.now() - t0; }
+    const merged = new Uint8Array(carry.length + value.length);
+    merged.set(carry); merged.set(value, carry.length);
+    const n = merged.length >> 1;
+    const pcm = new Int16Array(merged.buffer.slice(0, n * 2));
+    carry = merged.slice(n * 2);
+    if (!n) continue;
+    const f = Float32Array.from(pcm, v => v / 32768);
+    const buf = ctx.createBuffer(1, f.length, sr);
+    buf.getChannelData(0).set(f);
+    const src = ctx.createBufferSource();
+    src.buffer = buf; src.connect(ctx.destination);
+    t = Math.max(t, ctx.currentTime);
+    src.start(t); t += f.length / sr; total += f.length;
+    st.textContent = 'first audio ' + ttfa.toFixed(0) + ' ms\\n'
+      + (total / sr).toFixed(2) + ' s received';
+  }
+  st.textContent += '\\ndone (' + ((performance.now() - t0) / 1000).toFixed(2) + ' s wall)';
+};
+</script></body></html>
+"""
 
 
 def float_to_pcm16(wav: np.ndarray) -> bytes:
@@ -203,6 +269,23 @@ class TTSHttpServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    has_text = outer._text_to_ids is not None
+                    page = (DEMO_HTML
+                            .replace("__HAS_TEXT__", "true" if has_text
+                                     else "false")
+                            .replace("__TEXT_DISPLAY__",
+                                     "block" if has_text else "none")
+                            .replace("__IDS_DISPLAY__",
+                                     "none" if has_text else "block")
+                            ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(page)))
+                    self.end_headers()
+                    self.wfile.write(page)
+                    return
                 if self.path != "/health":
                     return self._json(404, {"error": "unknown path"})
                 st = ("error" if outer._engine_err else

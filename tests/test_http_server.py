@@ -88,6 +88,21 @@ def test_health(http_srv):
     assert body["lanes"] == 2 and body["sample_rate"] == 16000
 
 
+def test_demo_page(http_srv):
+    """GET / serves the browser demo; with no text frontend the ids box is
+    shown and the JS is told hasText=false."""
+    srv, _, _ = http_srv
+    conn = http.client.HTTPConnection(*srv.address, timeout=30)
+    conn.request("GET", "/")
+    resp = conn.getresponse()
+    body = resp.read().decode()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type").startswith("text/html")
+    assert "<html" in body and "/tts" in body
+    assert "const hasText = false" in body  # fixture has no text frontend
+    assert 'id="idsbox" style="display:block"' in body
+
+
 def test_rejects_bad_requests(http_srv):
     srv, _, _ = http_srv
     for payload, msg in [
