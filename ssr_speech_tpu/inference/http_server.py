@@ -296,11 +296,19 @@ class TTSHttpServer:
                     sample_rate=outer._sample_rate,
                     error=outer._engine_err))
 
+            # generous bound: the largest legal request (p_pad codec frames
+            # x K codebooks + sx_pad text ids as JSON ints) is ~100 KB; cap
+            # well above that so a hostile Content-Length cannot OOM the host
+            MAX_BODY = 16 << 20
+
             def do_POST(self):
                 if self.path != "/tts":
                     return self._json(404, {"error": "unknown path"})
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n > self.MAX_BODY:
+                        return self._json(
+                            413, {"error": f"body exceeds {self.MAX_BODY} B"})
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     req_id, q = outer._admit(payload)
                 except (ValueError, KeyError, json.JSONDecodeError) as e:

@@ -119,6 +119,12 @@ def test_rejects_bad_requests(http_srv):
     conn = http.client.HTTPConnection(*srv.address, timeout=30)
     conn.request("GET", "/nope")
     assert conn.getresponse().status == 404
+    # oversize body rejected by Content-Length BEFORE reading it
+    conn = http.client.HTTPConnection(*srv.address, timeout=30)
+    conn.putrequest("POST", "/tts")
+    conn.putheader("Content-Length", str(64 << 20))
+    conn.endheaders()
+    assert conn.getresponse().status == 413
 
 
 def test_http_streams_before_completion(http_srv):
