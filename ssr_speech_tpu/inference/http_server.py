@@ -11,13 +11,17 @@ beyond the standard library:
                                                   with a text frontend
                 ``prompt_codes``  [[int] x K]     optional codec prompt
                                                   (omit/empty for cold TTS)
-              response: 200 ``audio/L16`` (signed 16-bit little-endian PCM,
-              mono) streamed chunk-by-chunk as frames become final;
+              response: 200 ``audio/pcm;rate=R;encoding=s16le`` (signed
+              16-bit little-endian PCM, mono — deliberately not ``audio/L16``,
+              which RFC 2586 defines as big-endian) streamed chunk-by-chunk
+              as frames become final;
               ``X-Sample-Rate`` / ``X-Frame-Rate`` / ``X-Request-Id``
               headers. 400 + JSON error for malformed/oversize requests
               (validated BEFORE admission — a bad request never reaches the
               serving loop).
-  GET /health response: 200 JSON {"status": "ok", "lanes": N, ...}.
+  GET /health response: JSON {"status": ..., "lanes": N, ...}; HTTP 200
+              only while servable ("ok"), 503 when stopping or the engine
+              died — so LB probes keyed on status code eject the instance.
   GET /       browser demo page (type text / ids, hear the stream as it
               decodes — the stand-in for the reference's hosted demo).
 
@@ -210,6 +214,12 @@ class TTSHttpServer:
         """Stop accepting work, drain in-flight lanes, stop both threads."""
         self._stop.set()
         self._engine.join(timeout=60)
+        # a request admitted in the set-stop window would otherwise wait on
+        # a queue no engine will ever feed — wake every remaining waiter
+        with self._emit_lock:
+            qs, self._emit = list(self._emit.values()), {}
+        for q in qs:
+            q.put(("error", "server stopped"))
         self._httpd.shutdown()
         self._http_thread.join(timeout=10)
         self._httpd.server_close()
@@ -218,9 +228,14 @@ class TTSHttpServer:
 
     def _admit(self, payload):
         """Validate + enqueue one request. Returns (req_id, emit_queue);
-        raises ValueError with a client-facing message."""
+        raises ValueError (400) / RuntimeError (503) with a client-facing
+        message."""
         if self._engine_err:
             raise RuntimeError(self._engine_err)
+        if self._stop.is_set():
+            raise RuntimeError("server is shutting down")
+        if not isinstance(payload, dict):
+            raise ValueError("body must be a JSON object")
         if "text_ids" in payload:
             x = np.asarray(payload["text_ids"], np.int32)
             if x.ndim != 1:
@@ -250,6 +265,13 @@ class TTSHttpServer:
             with self._emit_lock:
                 self._emit.pop(req_id, None)
             raise ValueError("server queue full, retry later")
+        # close the admit-vs-engine-death race: if the engine died between
+        # the check at entry and our insert, its error broadcast may have
+        # missed this queue — re-check and refuse instead of hanging a client
+        if self._engine_err:
+            with self._emit_lock:
+                self._emit.pop(req_id, None)
+            raise RuntimeError(self._engine_err)
         return req_id, q
 
     def _make_handler(outer):  # noqa: N805 - closure over the server
@@ -290,7 +312,9 @@ class TTSHttpServer:
                     return self._json(404, {"error": "unknown path"})
                 st = ("error" if outer._engine_err else
                       "stopping" if outer._stop.is_set() else "ok")
-                self._json(200, dict(
+                # non-200 when unservable so LB probes keyed on HTTP status
+                # eject a dead/stopping instance
+                self._json(200 if st == "ok" else 503, dict(
                     status=st, lanes=outer._srv._server.S,
                     pending=outer._pending.qsize(),
                     sample_rate=outer._sample_rate,
@@ -306,17 +330,26 @@ class TTSHttpServer:
                     return self._json(404, {"error": "unknown path"})
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n < 0:
+                        # read(-1) would block until the client closes —
+                        # a held socket pins a handler thread (DoS)
+                        return self._json(
+                            400, {"error": "invalid Content-Length"})
                     if n > self.MAX_BODY:
                         return self._json(
                             413, {"error": f"body exceeds {self.MAX_BODY} B"})
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     req_id, q = outer._admit(payload)
-                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                except (ValueError, KeyError, TypeError, OverflowError,
+                        json.JSONDecodeError) as e:
                     return self._json(400, {"error": str(e)})
                 except RuntimeError as e:
                     return self._json(503, {"error": str(e)})
                 self.send_response(200)
-                self.send_header("Content-Type", "audio/L16")
+                # NOT audio/L16: RFC 2586 L16 is big-endian; the body is s16le
+                self.send_header("Content-Type",
+                                 "audio/pcm;rate=%d;encoding=s16le"
+                                 % outer._sample_rate)
                 self.send_header("X-Sample-Rate", str(outer._sample_rate))
                 self.send_header("X-Frame-Rate",
                                  str(outer._srv.codec_cfg.frame_rate))
@@ -324,7 +357,14 @@ class TTSHttpServer:
                 self.end_headers()
                 try:
                     while True:
-                        kind, *rest = q.get()
+                        try:
+                            kind, *rest = q.get(timeout=30)
+                        except queue.Empty:
+                            # backstop for any residual admit-vs-exit race:
+                            # a dead engine will never feed this queue
+                            if not outer._engine.is_alive():
+                                return
+                            continue
                         if kind == "chunk":
                             self.wfile.write(float_to_pcm16(rest[0]))
                             self.wfile.flush()

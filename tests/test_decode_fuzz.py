@@ -50,12 +50,11 @@ def _random_case(rng):
         mask = [(T, T)]  # TTS continuation
     else:
         n_spans = int(rng.integers(1, 4))
+        # sorted distinct cut points => strictly increasing, non-overlapping
         cuts = np.sort(rng.choice(np.arange(1, T - 1), size=2 * n_spans,
                                   replace=False))
         mask = [(int(cuts[2 * i]), int(cuts[2 * i + 1]))
-                for i in range(n_spans)
-                if cuts[2 * i + 1] > cuts[2 * i]]
-        mask = mask or [(T // 3, 2 * T // 3)]
+                for i in range(n_spans)]
     # prompt context (activates only when dec.aug_context and the masked
     # content is < 2 s — both taken and not-taken branches get sampled)
     prompt_x = rng.integers(0, CFG.text_vocab_size - 1, size=(6,))

@@ -125,6 +125,21 @@ def test_rejects_bad_requests(http_srv):
     conn.putheader("Content-Length", str(64 << 20))
     conn.endheaders()
     assert conn.getresponse().status == 413
+    # negative Content-Length must not become a blocking read(-1)
+    conn = http.client.HTTPConnection(*srv.address, timeout=30)
+    conn.putrequest("POST", "/tts")
+    conn.putheader("Content-Length", "-1")
+    conn.endheaders()
+    assert conn.getresponse().status == 400
+    # non-object JSON bodies are a 400, not a handler crash
+    for raw in (b"123", b'"text_ids"', b"[1,2,3]", b"{not json"):
+        conn = http.client.HTTPConnection(*srv.address, timeout=30)
+        conn.request("POST", "/tts", raw,
+                     {"Content-Type": "application/json"})
+        assert conn.getresponse().status == 400, raw
+    # ints that overflow int32 conversion are a 400 too
+    status, _, body, _ = _post_tts(srv.address, {"text_ids": [2 ** 70]})
+    assert status == 400
 
 
 def test_http_streams_before_completion(http_srv):
@@ -139,7 +154,7 @@ def test_http_streams_before_completion(http_srv):
     status, headers, pcm, times = _post_tts(
         srv.address, {"text_ids": x.tolist(), "prompt_codes": y.tolist()})
     assert status == 200
-    assert headers["Content-Type"] == "audio/L16"
+    assert headers["Content-Type"] == "audio/pcm;rate=16000;encoding=s16le"
     assert headers["X-Sample-Rate"] == "16000"
     got = np.frombuffer(pcm, "<i2")
     assert got.size > 0
