@@ -1,0 +1,46 @@
+"""End-to-end smoke of the LM training CLI (reference ``main.py`` +
+``z_scripts/e830M.sh``): argument parsing -> dataset/batcher wiring ->
+training loop -> bundle checkpoint -> ``--resume``. The trainer internals
+are parity-tested in test_training.py; this locks the entry point itself."""
+
+import os
+
+import pytest
+
+from ssr_speech_tpu import train_lm
+from tests.test_training import make_synth_corpus
+
+TINY = [
+    "--d_model", "64", "--nhead", "4", "--num_decoder_layers", "2",
+    "--audio_vocab_size", "32", "--text_vocab_size", "40",
+    "--n_codebooks", "4",
+    "--num_epochs", "1", "--val_every_n_steps", "2",
+    "--print_every_n_steps", "1", "--early_stop_step", "100000",
+    "--max_num_tokens", "2000", "--num_buckets", "2",
+    "--audio_min_length", "2.0", "--audio_max_length", "10.0",
+    "--text_min_length", "5",
+    "--optimizer_name", "scaledadam", "--lr", "0.01",
+]
+
+
+@pytest.mark.slow
+def test_train_lm_cli_end_to_end(tmp_path):
+    root = make_synth_corpus(tmp_path)
+    exp = str(tmp_path / "exp")
+    train_lm.main(["--exp_dir", exp, "--dataset_dir", root,
+                   "--encodec_folder_name", "codes",
+                   "--num_steps", "3", *TINY])
+    assert os.path.isfile(os.path.join(exp, "bundle.pkl"))
+
+    # resume continues from the saved bundle (cur_step advances, no crash,
+    # and the bundle is rewritten)
+    before = os.path.getmtime(os.path.join(exp, "bundle.pkl"))
+    train_lm.main(["--exp_dir", exp, "--dataset_dir", root,
+                   "--encodec_folder_name", "codes", "--resume",
+                   "--num_steps", "5", *TINY])
+    assert os.path.getmtime(os.path.join(exp, "bundle.pkl")) >= before
+
+    from ssr_speech_tpu.utils import checkpoint as ckpt
+    bundle = ckpt.load_bundle(os.path.join(exp, "bundle.pkl"))
+    assert bundle["model_config"]["d_model"] == 64
+    assert bundle["phn2num"]  # vocab travels with the weights
