@@ -221,6 +221,13 @@ class TrainConfig:
     early_stop_step: int = 3200
     early_stop_threshold: float = -1.0
     codebook_weight: Optional[Tuple[float, ...]] = None  # e.g. (5, 1, 0.5, 0.1)
+    # >0 arms the stall watchdog (reference DeadlockDetect,
+    # audiocraft/utils/deadlock.py): no loop beacon for this many seconds
+    # dumps all thread stacks and kills the process for the scheduler
+    deadlock_timeout: float = 0.0
+    # >0 traces the first N steps to exp_dir/profile (reference profiler
+    # wrapper, solvers/base.py:536-549, on jax.profiler)
+    profile_steps: int = 0
     dp_axis: str = "dp"
     num_devices: Optional[int] = None  # default: all visible
     optim: OptimConfig = field(default_factory=OptimConfig)

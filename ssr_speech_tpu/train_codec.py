@@ -66,6 +66,12 @@ def main(argv=None):
     p.add_argument("--visqol_bin", default=None,
                    help="path to a google/visqol install for eval-stage "
                         "MOS-LQO (optional, like the reference)")
+    p.add_argument("--deadlock_timeout", type=float, default=0.0,
+                   help=">0: stall watchdog — no loop beacon for this many "
+                        "seconds dumps stacks and kills the process")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help=">0: jax.profiler-trace the first N steps to "
+                        "exp_dir/profile")
     p.add_argument("--config_json", default=None,
                    help="codec geometry as a CodecConfig JSON file "
                         "(default: shipped encodec_large_nq4_s320)")
@@ -175,36 +181,51 @@ def main(argv=None):
     step = 0
     epoch = 0
     from .data.prefetch import PrefetchIterator
+    from .utils.profiler import Profiler
+    from .utils.watchdog import DeadlockDetect
 
-    for epoch in range(args.epochs):
-        for wav in PrefetchIterator(
-                ds.batches(args.batch_size, args.updates), depth=2):
-            labels, keep = wm.sample_watermark_mask(rng, wav.shape[0], frames, hop)
-            state, metrics = step_fn(state, shard_batch(jnp.asarray(wav)),
-                                     shard_batch(jnp.asarray(labels)),
-                                     shard_batch(jnp.asarray(keep)))
-            step += 1
-            if step % 50 == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                logger.info("epoch %d step %d %s", epoch, step,
-                            {k: round(v, 4) for k, v in m.items()})
-            if step % args.eval_every == 0:
-                wav_eval = jnp.asarray(next(ds.batches(args.batch_size, 1)))
-                sisnr = float(codec_trainer.evaluate_sisnr(state, cfg, wav_eval))
-                logger.info("eval si-snr %.2f dB", sisnr)
-            if args.generate_every and step % args.generate_every == 0:
-                generate_stage(epoch, step)
-            if step % args.save_every == 0:
-                full = dict(encoder=state.frozen["encoder"],
-                            decoder=state.frozen["decoder"],
-                            quantizer=state.frozen["quantizer"],
-                            wmdecoder=state.ema_params)
-                ckpt.save_bundle(
-                    os.path.join(args.exp_dir, "codec_bundle.pkl"),
-                    params=full,
-                    config=dataclasses.asdict(cfg),
-                    step=step,
-                )
+    watchdog = DeadlockDetect(use=args.deadlock_timeout > 0,
+                              timeout=args.deadlock_timeout)
+    prof = Profiler(logdir=os.path.join(args.exp_dir, "profile"),
+                    enabled=args.profile_steps > 0,
+                    num_steps=args.profile_steps)
+    with watchdog:
+        for epoch in range(args.epochs):
+            for wav in PrefetchIterator(
+                    ds.batches(args.batch_size, args.updates), depth=2):
+                watchdog.update("batch")
+                labels, keep = wm.sample_watermark_mask(
+                    rng, wav.shape[0], frames, hop)
+                state, metrics = step_fn(state, shard_batch(jnp.asarray(wav)),
+                                         shard_batch(jnp.asarray(labels)),
+                                         shard_batch(jnp.asarray(keep)))
+                watchdog.update("step")
+                prof.step()
+                step += 1
+                if step % 50 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    logger.info("epoch %d step %d %s", epoch, step,
+                                {k: round(v, 4) for k, v in m.items()})
+                if step % args.eval_every == 0:
+                    wav_eval = jnp.asarray(
+                        next(ds.batches(args.batch_size, 1)))
+                    sisnr = float(
+                        codec_trainer.evaluate_sisnr(state, cfg, wav_eval))
+                    logger.info("eval si-snr %.2f dB", sisnr)
+                if args.generate_every and step % args.generate_every == 0:
+                    generate_stage(epoch, step)
+                if step % args.save_every == 0:
+                    full = dict(encoder=state.frozen["encoder"],
+                                decoder=state.frozen["decoder"],
+                                quantizer=state.frozen["quantizer"],
+                                wmdecoder=state.ema_params)
+                    ckpt.save_bundle(
+                        os.path.join(args.exp_dir, "codec_bundle.pkl"),
+                        params=full,
+                        config=dataclasses.asdict(cfg),
+                        step=step,
+                    )
+    prof.close()
     if step:
         generate_stage(epoch, step)
     logger.info("done: %d steps", step)

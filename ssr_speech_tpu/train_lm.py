@@ -36,6 +36,12 @@ def build_parser():
     p.add_argument("--early_stop_step", type=int, default=3200)
     p.add_argument("--early_stop_threshold", type=float, default=-1.0)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--deadlock_timeout", type=float, default=0.0,
+                   help=">0: stall watchdog — no loop beacon for this many "
+                        "seconds dumps stacks and kills the process")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help=">0: jax.profiler-trace the first N steps to "
+                        "exp_dir/profile")
     # optimizer
     p.add_argument("--optimizer_name", default="scaledadam")
     p.add_argument("--lr", type=float, default=0.05)
@@ -133,6 +139,8 @@ def main(argv=None):
         early_stop_step=args.early_stop_step,
         early_stop_threshold=args.early_stop_threshold,
         codebook_weight=cw,
+        deadlock_timeout=args.deadlock_timeout,
+        profile_steps=args.profile_steps,
         optim=OptimConfig(
             optimizer_name=args.optimizer_name, lr=args.lr,
             weight_decay=args.weight_decay,

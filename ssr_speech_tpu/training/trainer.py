@@ -36,6 +36,8 @@ from ..parallel import mesh as meshlib
 from ..utils import checkpoint as ckpt
 from ..utils.logging_utils import MetricsWriter
 from ..utils.metrics import AverageMeter
+from ..utils.profiler import Profiler
+from ..utils.watchdog import DeadlockDetect
 from . import optim as optimlib
 
 logger = logging.getLogger(__name__)
@@ -258,8 +260,25 @@ class Trainer:
         flag = True
         data_start = time.time()
         bench_batch = None
+        # stall watchdog + first-steps profiler (reference DeadlockDetect
+        # beacons + profiler wrapper, solvers/base.py:536-554) — both off by
+        # default; armed via TrainConfig.deadlock_timeout / profile_steps
+        watchdog = DeadlockDetect(use=tcfg.deadlock_timeout > 0,
+                                  timeout=tcfg.deadlock_timeout)
+        prof = Profiler(logdir=os.path.join(self.exp_dir, "profile"),
+                        enabled=tcfg.profile_steps > 0,
+                        num_steps=tcfg.profile_steps)
+        with watchdog:
+            self._train_loop(tcfg, benchmark_no_load, bench_batch,
+                             data_start, flag, watchdog, prof)
+        prof.close()
+        return self.progress
+
+    def _train_loop(self, tcfg, benchmark_no_load, bench_batch, data_start,
+                    flag, watchdog, prof):
         while flag:
             for batch in self.train_loader(self.progress["epoch"]):
+                watchdog.update("batch")
                 if benchmark_no_load:
                     if bench_batch is None:
                         bench_batch = batch
@@ -273,6 +292,8 @@ class Trainer:
                 self.params, self.opt_state, metrics = self.train_step(
                     self.params, self.opt_state, batch, step_key
                 )
+                watchdog.update("step")
+                prof.step()
                 step = self.progress["step"]
                 if step % tcfg.print_every_n_steps == 0:
                     m = jax.device_get(metrics)
@@ -298,6 +319,7 @@ class Trainer:
                     if np.isnan(self.meters["train_loss"].avg):
                         raise RuntimeError("training diverged...")
                 if step > 0 and step % tcfg.val_every_n_steps == 0:
+                    watchdog.update("valid")
                     if not self.validate_and_save():
                         flag = False
                         break

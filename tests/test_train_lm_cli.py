@@ -29,8 +29,13 @@ def test_train_lm_cli_end_to_end(tmp_path):
     exp = str(tmp_path / "exp")
     train_lm.main(["--exp_dir", exp, "--dataset_dir", root,
                    "--encodec_folder_name", "codes",
-                   "--num_steps", "3", *TINY])
+                   "--num_steps", "3",
+                   "--deadlock_timeout", "600", "--profile_steps", "2",
+                   *TINY])
     assert os.path.isfile(os.path.join(exp, "bundle.pkl"))
+    # the profiler traced the first 2 steps into exp_dir/profile
+    prof_dir = os.path.join(exp, "profile")
+    assert any(fs for _, _, fs in os.walk(prof_dir)), "no profiler trace"
 
     # resume continues from the saved bundle (cur_step advances, no crash,
     # and the bundle is rewritten)

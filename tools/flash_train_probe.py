@@ -37,6 +37,7 @@ def run(name):
     attn_impl, remat = dict(
         einsum_full=("einsum", "full"), flash_none=("flash", "none"),
         flash_dots=("flash", "dots"), einsum_dots=("einsum", "dots"),
+        flash_mixed=("flash", "mixed"),  # every other layer un-rematted
     )[name]
     rng = np.random.default_rng(0)
     cfg = SSRModelConfig(d_model=2048, nhead=16, num_layers=16, n_codebooks=4,
