@@ -228,6 +228,9 @@ class TrainConfig:
     # >0 traces the first N steps to exp_dir/profile (reference profiler
     # wrapper, solvers/base.py:536-549, on jax.profiler)
     profile_steps: int = 0
+    # >0 also keeps the last N numbered step checkpoints under
+    # exp_dir/checkpoints (reference checkpoint.py:104-122 history flushing)
+    keep_step_checkpoints: int = 0
     dp_axis: str = "dp"
     num_devices: Optional[int] = None  # default: all visible
     optim: OptimConfig = field(default_factory=OptimConfig)

@@ -66,6 +66,14 @@ def main(argv=None):
     p.add_argument("--visqol_bin", default=None,
                    help="path to a google/visqol install for eval-stage "
                         "MOS-LQO (optional, like the reference)")
+    p.add_argument("--loss_weights", default=None,
+                   help="balancer weights, e.g. 'adv=4,feat=4,l1=0.1,"
+                        "msspec=2' (+ optional mel/mstft/l2; reference "
+                        "solver `losses:` config)")
+    p.add_argument("--adv_loss_mode", default="hinge",
+                   choices=["hinge", "mse"],
+                   help="adversarial objective family (reference "
+                        "adversarial.loss)")
     p.add_argument("--deadlock_timeout", type=float, default=0.0,
                    help=">0: stall watchdog — no loop beacon for this many "
                         "seconds dumps stacks and kills the process")
@@ -116,10 +124,17 @@ def main(argv=None):
             pretrained = ckpt.load_bundle(args.codec_path)["params"]
         pretrained = bootstrap_wm_from_codec(pretrained)
 
+    bw = None
+    if args.loss_weights:
+        bw = {k: float(v) for k, v in
+              (kv.split("=") for kv in args.loss_weights.split(","))}
     state, opts = codec_trainer.init_codec_train_state(
-        jax.random.PRNGKey(args.seed), cfg, lr=args.lr, pretrained=pretrained
+        jax.random.PRNGKey(args.seed), cfg, lr=args.lr, pretrained=pretrained,
+        balance_weights=bw,
     )
-    step_fn = codec_trainer.make_codec_train_step(cfg, opts, args.ema_decay)
+    step_fn = codec_trainer.make_codec_train_step(
+        cfg, opts, args.ema_decay, balance_weights=bw,
+        adv_loss_mode=args.adv_loss_mode)
 
     shard_batch = lambda x: x
     if args.data_parallel and jax.device_count() > 1:
@@ -147,6 +162,13 @@ def main(argv=None):
                              max_audio_duration=args.max_audio_duration)
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.exp_dir, exist_ok=True)
+    # persist the RESOLVED geometry (reference: dora writes the composed
+    # hydra config next to the xp) — --config_json of a later run can
+    # consume it verbatim
+    from .config import config_to_json
+
+    with open(os.path.join(args.exp_dir, "config.json"), "w") as f:
+        f.write(config_to_json(cfg))
     hop = cfg.hop_length
     frames = int(args.segment_duration * cfg.sample_rate) // hop
 

@@ -42,6 +42,9 @@ def build_parser():
     p.add_argument("--profile_steps", type=int, default=0,
                    help=">0: jax.profiler-trace the first N steps to "
                         "exp_dir/profile")
+    p.add_argument("--keep_step_checkpoints", type=int, default=0,
+                   help=">0: also keep the last N numbered step checkpoints "
+                        "under exp_dir/checkpoints")
     # optimizer
     p.add_argument("--optimizer_name", default="scaledadam")
     p.add_argument("--lr", type=float, default=0.05)
@@ -141,6 +144,7 @@ def main(argv=None):
         codebook_weight=cw,
         deadlock_timeout=args.deadlock_timeout,
         profile_steps=args.profile_steps,
+        keep_step_checkpoints=args.keep_step_checkpoints,
         optim=OptimConfig(
             optimizer_name=args.optimizer_name, lr=args.lr,
             weight_decay=args.weight_decay,
@@ -207,8 +211,17 @@ def main(argv=None):
                       unroll=(None if args.unroll_layers is None
                               else bool(args.unroll_layers)))
     resume_path = os.path.join(args.exp_dir, "bundle.pkl")
-    if args.resume and os.path.isfile(resume_path):
-        trainer.load_bundle(resume_path)
+    if args.resume:
+        if not os.path.isfile(resume_path):
+            # fall back to the newest numbered step checkpoint (written
+            # when keep_step_checkpoints > 0) — e.g. after a crash between
+            # history save and bundle rewrite
+            from .utils.checkpoint import latest_checkpoint
+
+            resume_path = latest_checkpoint(
+                os.path.join(args.exp_dir, "checkpoints"))
+        if resume_path and os.path.isfile(resume_path):
+            trainer.load_bundle(resume_path)
     if args.load_model_from:
         trainer.load_bundle(args.load_model_from, load_optimizer=False)
     with mesh:

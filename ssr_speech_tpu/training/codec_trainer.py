@@ -42,6 +42,37 @@ from . import losses as L
 
 BALANCE_WEIGHTS = {"adv": 4.0, "feat": 4.0, "l1": 0.1, "msspec": 2.0}
 
+# the rest of the reference's selectable loss space (config
+# solver/compression/encodec_*.yaml `losses:` weights beyond the shipped
+# adv/feat/l1/msspec, specloss.py / stftloss.py) — any subset may be named
+# in `balance_weights`
+RECON_LOSS_FNS = {
+    "l1": lambda yp, x, sr: L.l1_loss(yp, x),
+    "l2": lambda yp, x, sr: L.l2_loss(yp, x),
+    "msspec": lambda yp, x, sr: L.multiscale_mel_loss(yp, x, sr),
+    "mel": lambda yp, x, sr: L.mel_l1_loss(yp, x, sr),
+    "mstft": lambda yp, x, sr: L.mrstft_loss(yp, x),
+}
+
+# adversarial objective family (reference adversarial/losses.py:200-247,
+# selected by `adversarial.loss`): (generator, disc-real, disc-fake)
+ADV_LOSS_FNS = {
+    "hinge": (L.hinge_gen_loss, L.hinge_real_loss, L.hinge_fake_loss),
+    "mse": (L.mse_gen_loss, L.mse_real_loss, L.mse_fake_loss),
+}
+
+
+def _resolve_losses(balance_weights, adv_loss_mode):
+    bw = dict(BALANCE_WEIGHTS if balance_weights is None else balance_weights)
+    if "adv" not in bw or "feat" not in bw:
+        raise ValueError("balance_weights must include 'adv' and 'feat'")
+    unknown = [k for k in bw if k not in ("adv", "feat")
+               and k not in RECON_LOSS_FNS]
+    if unknown:
+        raise ValueError(f"unknown loss keys {unknown}; "
+                         f"choose from {sorted(RECON_LOSS_FNS)}")
+    return bw, ADV_LOSS_FNS[adv_loss_mode]
+
 
 class CodecTrainState(NamedTuple):
     wm_params: Any  # trainable: the watermark decoder
@@ -61,7 +92,8 @@ def make_optimizers(lr: float = 5e-4):
 
 
 def init_codec_train_state(key, cfg: CodecConfig, lr: float = 5e-4,
-                           pretrained: Optional[Dict[str, Any]] = None
+                           pretrained: Optional[Dict[str, Any]] = None,
+                           balance_weights: Optional[Dict[str, float]] = None,
                            ) -> Tuple[CodecTrainState, Tuple]:
     k1, k2 = jax.random.split(key)
     params = pretrained if pretrained is not None else wm.init_wmencodec(k1, cfg)
@@ -83,17 +115,24 @@ def init_codec_train_state(key, cfg: CodecConfig, lr: float = 5e-4,
     state = CodecTrainState(
         wm_params=wm_params, frozen=frozen, disc_params=disc_params,
         g_opt=g_opt, d_opt=d_opt,
-        balancer=L.init_balancer(list(BALANCE_WEIGHTS)),
+        balancer=L.init_balancer(
+            list(BALANCE_WEIGHTS if balance_weights is None
+                 else balance_weights)),
         ema_params=ema,
         step=jnp.zeros((), jnp.int32),
     )
     return state, (g_opt_t, d_opt_t)
 
 
-def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99):
+def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99,
+                          balance_weights: Optional[Dict[str, float]] = None,
+                          adv_loss_mode: str = "hinge"):
     g_opt_t, d_opt_t = optimizers
     sr = cfg.sample_rate
     sn = cfg.seanet
+    bw, (gen_loss, real_loss, fake_loss) = _resolve_losses(
+        balance_weights, adv_loss_mode)
+    recon_keys = [k for k in bw if k not in ("adv", "feat")]
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: CodecTrainState, wav: jnp.ndarray,
@@ -128,7 +167,7 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99)
         def adv_fn(yp):
             logits_f, fmaps_f = disc_mod.msstftd_forward(state.disc_params, yp)
             _, fmaps_r = disc_mod.msstftd_forward(state.disc_params, x)
-            adv = sum(L.hinge_gen_loss(lg) for lg in logits_f) / len(logits_f)
+            adv = sum(gen_loss(lg) for lg in logits_f) / len(logits_f)
             feat = sum(
                 L.feature_matching_loss(ff, fr)
                 for ff, fr in zip(fmaps_f, fmaps_r)
@@ -138,14 +177,13 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99)
         (adv_v, feat_v), adv_vjp = jax.vjp(adv_fn, y_pred)
         g_adv, = adv_vjp((jnp.ones(()), jnp.zeros(())))
         g_feat, = adv_vjp((jnp.zeros(()), jnp.ones(())))
-        l1_v, g_l1 = jax.value_and_grad(lambda yp: L.l1_loss(yp, x))(y_pred)
-        ms_v, g_ms = jax.value_and_grad(
-            lambda yp: L.multiscale_mel_loss(yp, x, sr))(y_pred)
-
-        losses = dict(adv=adv_v, feat=feat_v, l1=l1_v, msspec=ms_v)
-        grads_out = dict(adv=g_adv, feat=g_feat, l1=g_l1, msspec=g_ms)
+        losses = dict(adv=adv_v, feat=feat_v)
+        grads_out = dict(adv=g_adv, feat=g_feat)
+        for k in recon_keys:
+            losses[k], grads_out[k] = jax.value_and_grad(
+                lambda yp, k=k: RECON_LOSS_FNS[k](yp, x, sr))(y_pred)
         cot, new_bal, g_loss = L.balancer_cotangent(
-            state.balancer, grads_out, BALANCE_WEIGHTS, losses)
+            state.balancer, grads_out, bw, losses)
 
         g_wm, = vjp_fn((cot, g_mark, g_clean))
         g_updates, new_g_opt = g_opt_t.update(g_wm, state.g_opt, state.wm_params)
@@ -159,7 +197,7 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99)
             logits_f, _ = disc_mod.msstftd_forward(dp, y_det)
             logits_r, _ = disc_mod.msstftd_forward(dp, x)
             loss = sum(
-                L.hinge_fake_loss(lf) + L.hinge_real_loss(lr_)
+                fake_loss(lf) + real_loss(lr_)
                 for lf, lr_ in zip(logits_f, logits_r)
             )
             return loss / len(logits_f)
@@ -175,7 +213,7 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99)
         )
 
         metrics = dict(cls_loss=cls_loss, d_loss=d_loss, g_loss=g_loss,
-                       adv=adv_v, feat=feat_v, l1=l1_v, msspec=ms_v)
+                       **losses)
         new_state = CodecTrainState(
             wm_params=new_wm, frozen=state.frozen, disc_params=new_disc,
             g_opt=new_g_opt, d_opt=new_d_opt, balancer=new_bal,
@@ -187,7 +225,9 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99)
 
 
 def make_compression_train_step(cfg: CodecConfig, optimizers,
-                                straight_through: bool = True):
+                                straight_through: bool = True,
+                                balance_weights: Optional[Dict[str, float]] = None,
+                                adv_loss_mode: str = "hinge"):
     """Plain EnCodec trainer step (reference ``solvers/compression.py:27``):
     same adversarial + reconstruction losses, no watermark head, training the
     autoencoder itself.
@@ -201,6 +241,9 @@ def make_compression_train_step(cfg: CodecConfig, optimizers,
     g_opt_t, d_opt_t = optimizers
     sr = cfg.sample_rate
     sn = cfg.seanet
+    bw, (gen_loss, real_loss, fake_loss) = _resolve_losses(
+        balance_weights, adv_loss_mode)
+    recon_keys = [k for k in bw if k not in ("adv", "feat")]
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: CodecTrainState, wav: jnp.ndarray):
@@ -225,7 +268,7 @@ def make_compression_train_step(cfg: CodecConfig, optimizers,
         def adv_fn(yp):
             logits_f, fmaps_f = disc_mod.msstftd_forward(state.disc_params, yp)
             _, fmaps_r = disc_mod.msstftd_forward(state.disc_params, x)
-            adv = sum(L.hinge_gen_loss(lg) for lg in logits_f) / len(logits_f)
+            adv = sum(gen_loss(lg) for lg in logits_f) / len(logits_f)
             feat = sum(L.feature_matching_loss(ff, fr)
                        for ff, fr in zip(fmaps_f, fmaps_r)) / len(fmaps_f)
             return adv, feat
@@ -233,13 +276,13 @@ def make_compression_train_step(cfg: CodecConfig, optimizers,
         (adv_v, feat_v), adv_vjp = jax.vjp(adv_fn, y_pred)
         g_adv, = adv_vjp((jnp.ones(()), jnp.zeros(())))
         g_feat, = adv_vjp((jnp.zeros(()), jnp.ones(())))
-        l1_v, g_l1 = jax.value_and_grad(lambda yp: L.l1_loss(yp, x))(y_pred)
-        ms_v, g_ms = jax.value_and_grad(
-            lambda yp: L.multiscale_mel_loss(yp, x, sr))(y_pred)
-        losses = dict(adv=adv_v, feat=feat_v, l1=l1_v, msspec=ms_v)
-        grads_out = dict(adv=g_adv, feat=g_feat, l1=g_l1, msspec=g_ms)
+        losses = dict(adv=adv_v, feat=feat_v)
+        grads_out = dict(adv=g_adv, feat=g_feat)
+        for k in recon_keys:
+            losses[k], grads_out[k] = jax.value_and_grad(
+                lambda yp, k=k: RECON_LOSS_FNS[k](yp, x, sr))(y_pred)
         cot, new_bal, g_loss = L.balancer_cotangent(
-            state.balancer, grads_out, BALANCE_WEIGHTS, losses)
+            state.balancer, grads_out, bw, losses)
         g_tr, = vjp_fn(cot)
 
         # reuse the generator optimizer state on the (encoder, decoder) tree
@@ -251,7 +294,7 @@ def make_compression_train_step(cfg: CodecConfig, optimizers,
         def d_loss_fn(dp):
             logits_f, _ = disc_mod.msstftd_forward(dp, y_det)
             logits_r, _ = disc_mod.msstftd_forward(dp, x)
-            loss = sum(L.hinge_fake_loss(lf) + L.hinge_real_loss(lr_)
+            loss = sum(fake_loss(lf) + real_loss(lr_)
                        for lf, lr_ in zip(logits_f, logits_r))
             return loss / len(logits_f)
 
@@ -261,8 +304,7 @@ def make_compression_train_step(cfg: CodecConfig, optimizers,
 
         new_frozen = dict(encoder=new_tr["encoder"], decoder=new_tr["decoder"],
                           quantizer=quantizer)
-        metrics = dict(d_loss=d_loss, g_loss=g_loss, adv=adv_v, feat=feat_v,
-                       l1=l1_v, msspec=ms_v)
+        metrics = dict(d_loss=d_loss, g_loss=g_loss, **losses)
         new_state = CodecTrainState(
             wm_params=state.wm_params, frozen=new_frozen, disc_params=new_disc,
             g_opt=new_g_opt, d_opt=new_d_opt, balancer=new_bal,
@@ -274,7 +316,7 @@ def make_compression_train_step(cfg: CodecConfig, optimizers,
 
 
 def init_compression_train_state(key, cfg: CodecConfig, lr: float = 5e-4,
-                                 pretrained=None):
+                                 pretrained=None, balance_weights=None):
     """State for the plain-codec trainer: generator optimizer tracks the
     (encoder, decoder) tree."""
     k1, k2 = jax.random.split(key)
@@ -287,7 +329,9 @@ def init_compression_train_state(key, cfg: CodecConfig, lr: float = 5e-4,
     state = CodecTrainState(
         wm_params=params["wmdecoder"], frozen=frozen, disc_params=disc_params,
         g_opt=g_opt_t.init(trainable), d_opt=d_opt_t.init(disc_params),
-        balancer=L.init_balancer(list(BALANCE_WEIGHTS)),
+        balancer=L.init_balancer(
+            list(BALANCE_WEIGHTS if balance_weights is None
+                 else balance_weights)),
         ema_params=jax.tree.map(jnp.copy, params["wmdecoder"]),
         step=jnp.zeros((), jnp.int32),
     )

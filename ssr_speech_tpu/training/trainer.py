@@ -36,7 +36,7 @@ from ..parallel import mesh as meshlib
 from ..utils import checkpoint as ckpt
 from ..utils.logging_utils import MetricsWriter
 from ..utils.metrics import AverageMeter
-from ..utils.profiler import Profiler
+from ..utils.profiler import Profiler, annotate as profiler_annotate
 from ..utils.watchdog import DeadlockDetect
 from . import optim as optimlib
 
@@ -289,9 +289,10 @@ class Trainer:
                     break
                 data_end = time.time()
                 self.rng, step_key = jax.random.split(self.rng)
-                self.params, self.opt_state, metrics = self.train_step(
-                    self.params, self.opt_state, batch, step_key
-                )
+                with profiler_annotate("train_step"):
+                    self.params, self.opt_state, metrics = self.train_step(
+                        self.params, self.opt_state, batch, step_key
+                    )
                 watchdog.update("step")
                 prof.step()
                 step = self.progress["step"]
@@ -362,6 +363,17 @@ class Trainer:
             self.progress["best_step"] = step
             self.save_bundle("best_bundle.pkl")
         self.save_bundle("bundle.pkl")
+        if self.tcfg.keep_step_checkpoints > 0:
+            # numbered history with keep-last-N flushing (reference
+            # checkpoint.py:104-122)
+            ckpt.save_step_checkpoint(
+                os.path.join(self.exp_dir, "checkpoints"), step,
+                keep_last=self.tcfg.keep_step_checkpoints,
+                params=self.params, opt_state=self.opt_state,
+                progress=self.progress,
+                model_config=dataclasses.asdict(self.cfg),
+                train_config=dataclasses.asdict(self.tcfg),
+                phn2num=self.phn2num)
         if (
             self.tcfg.early_stop_step > 0
             and step - self.progress["best_step"] > self.tcfg.early_stop_step

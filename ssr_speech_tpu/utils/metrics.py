@@ -42,9 +42,3 @@ def si_snr(est: jnp.ndarray, ref: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray
     noise = est - target
     ratio = (jnp.sum(target ** 2, axis=-1) + eps) / (jnp.sum(noise ** 2, axis=-1) + eps)
     return 10.0 * jnp.log10(ratio)
-
-
-def count_params(tree) -> int:
-    import jax
-
-    return sum(int(x.size) for x in jax.tree.leaves(tree))

@@ -134,3 +134,21 @@ def test_train_codec_main_with_generate_stage(tmp_path):
     epoch_dir = os.path.join(exp, "samples", sample_dirs[0])
     wavs = [f for f in os.listdir(epoch_dir) if f.endswith(".wav")]
     assert wavs, "generate stage stored no samples"
+
+
+def test_tiny_codec_config_json_roundtrip(tmp_path):
+    """The debug codec factory + resolved-config persistence: tiny config ->
+    config_to_json -> codec_config_from_json is exact, and the geometry
+    initializes (the same path train_codec uses for exp_dir/config.json)."""
+    import jax
+
+    from ssr_speech_tpu.config import (
+        codec_config_from_json, config_to_json, tiny_codec_config,
+    )
+    from ssr_speech_tpu.models.codec import wmencodec as wm
+
+    cfg = tiny_codec_config()
+    back = codec_config_from_json(config_to_json(cfg))
+    assert back == cfg
+    params = wm.init_wmencodec(jax.random.PRNGKey(0), back)
+    assert set(params) == {"encoder", "decoder", "quantizer", "wmdecoder"}

@@ -214,3 +214,46 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(tree["a"]))
     np.testing.assert_array_equal(np.asarray(back["b"]["c"]),
                                   np.asarray(tree["b"]["c"]))
+
+
+def test_configurable_losses_and_mse_adversary():
+    """The full reference loss space is selectable: extra mel/mstft/l2
+    reconstruction terms in the balancer and the mse adversarial family
+    (reference solver `losses:` weights + adversarial.loss=mse)."""
+    key = jax.random.PRNGKey(1)
+    bw = {"adv": 4.0, "feat": 4.0, "l1": 0.1, "msspec": 2.0,
+          "mel": 1.0, "mstft": 1.0, "l2": 0.5}
+    state, opts = codec_trainer.init_codec_train_state(
+        key, TINY, lr=1e-3, balance_weights=bw)
+    step = codec_trainer.make_codec_train_step(
+        TINY, opts, balance_weights=bw, adv_loss_mode="mse")
+    hop = TINY.hop_length
+    F = 8
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.normal(size=(2, F * hop, 1)) * 0.1, jnp.float32)
+    labels, keep = wm.sample_watermark_mask(rng, 2, F, hop, min_regions=1)
+    wm_before = np.asarray(jax.tree.leaves(state.wm_params)[0])
+    new_state, metrics = step(state, wav, jnp.asarray(labels),
+                              jnp.asarray(keep))
+    for k in ("mel", "mstft", "l2", "adv", "feat", "l1", "msspec"):
+        assert np.isfinite(float(metrics[k])), (k, metrics[k])
+    assert not np.allclose(wm_before,
+                           np.asarray(jax.tree.leaves(new_state.wm_params)[0]))
+
+    # unknown loss key fails loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown loss"):
+        codec_trainer.make_codec_train_step(
+            TINY, opts, balance_weights={"adv": 1, "feat": 1, "nope": 1})
+
+
+def test_mse_adversarial_losses_numerics():
+    """mse family (reference adversarial/losses.py:241-247): generator
+    pulls fake logits to 1, discriminator pushes real->1 / fake->0."""
+    ones = jnp.ones((2, 5))
+    zeros = jnp.zeros((2, 5))
+    assert float(L.mse_gen_loss(ones)) == 0.0
+    assert float(L.mse_gen_loss(zeros)) == 1.0
+    assert float(L.mse_real_loss(ones)) == 0.0
+    assert float(L.mse_fake_loss(zeros)) == 0.0
+    assert float(L.mse_fake_loss(ones)) == 1.0

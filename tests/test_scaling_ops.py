@@ -53,6 +53,9 @@ def test_basic_norm_forward(ref_scaling):
     got = np.asarray(sc.basic_norm(jnp.asarray(x),
                                    jnp.asarray(bn.eps.detach().numpy())))
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+    # our init helper matches the reference module's learnable-eps init
+    np.testing.assert_allclose(np.asarray(sc.init_basic_norm(0.25)),
+                               bn.eps.detach().numpy(), atol=1e-7)
 
 
 def test_scale_sign_factors_match(ref_scaling):

@@ -31,11 +31,16 @@ def test_train_lm_cli_end_to_end(tmp_path):
                    "--encodec_folder_name", "codes",
                    "--num_steps", "3",
                    "--deadlock_timeout", "600", "--profile_steps", "2",
+                   "--keep_step_checkpoints", "2",
                    *TINY])
     assert os.path.isfile(os.path.join(exp, "bundle.pkl"))
     # the profiler traced the first 2 steps into exp_dir/profile
     prof_dir = os.path.join(exp, "profile")
     assert any(fs for _, _, fs in os.walk(prof_dir)), "no profiler trace"
+    # keep-last-N numbered history exists and is discoverable
+    from ssr_speech_tpu.utils.checkpoint import latest_checkpoint
+    latest = latest_checkpoint(os.path.join(exp, "checkpoints"))
+    assert latest and os.path.isfile(latest)
 
     # resume continues from the saved bundle (cur_step advances, no crash,
     # and the bundle is rewritten)
