@@ -120,6 +120,31 @@ def _codec_mae():
     return float(np.mean(np.abs(got_wav.transpose(0, 2, 1) - want_wav))), None
 
 
+def _device_warmup(retries: int = 5, wait: float = 60.0):
+    """First device contact with retries: transient axon failures (remote
+    compile HTTP 500, tunnel re-establishment after an outage) show up as
+    backend-init / first-dispatch errors — don't lose a whole bench run to
+    one. Failed backend inits are cached by xla_bridge, so clear between
+    attempts."""
+    import jax
+    import jax.numpy as jnp
+
+    for i in range(retries):
+        try:
+            np.asarray(jnp.ones((8, 8)).sum())
+            return
+        except Exception as e:  # noqa: BLE001 - retrying any backend error
+            print(f"device warmup {i + 1}/{retries} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            if i == retries - 1:
+                raise
+            try:
+                jax.clear_backends()
+            except Exception:  # noqa: BLE001 - best effort
+                pass
+            time.sleep(wait)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -129,6 +154,7 @@ def main():
     from ssr_speech_tpu.models import ssr as ssr_model
     from ssr_speech_tpu.models.codec import wmencodec as wm
 
+    _device_warmup()
     cfg = SSRModelConfig(d_model=2048, nhead=16, num_layers=16,
                          n_codebooks=4, text_vocab_size=120)
     codec_cfg = CodecConfig()
