@@ -98,6 +98,15 @@ def build_parser():
     p.add_argument("--unroll_layers", type=int, default=None,
                    help="1 = unroll the layer loop (1.58x on TPU; the "
                         "default there), 0 = lax.scan; default: by backend")
+    p.add_argument("--attn_impl", default=None,
+                   choices=["einsum", "flash"],
+                   help="training attention: fused Pallas flash kernel "
+                        "(1.25x step, enables relaxed remat) or einsum; "
+                        "default: flash on TPU when head_dim %% 128 == 0")
+    p.add_argument("--remat", default=None,
+                   choices=["full", "dots", "mixed", "none"],
+                   help="layer rematerialization policy (docs/DESIGN.md); "
+                        "default: dots with flash attention, else full")
     p.add_argument("--load_model_from", default=None)
     p.add_argument("--benchmark_no_load", action="store_true",
                    help="repeat one batch to benchmark the step loop")
@@ -123,6 +132,19 @@ def main(argv=None):
     from .parallel import mesh as meshlib
     from .training.trainer import Trainer
 
+    import jax
+
+    # backend-aware defaults: the fused flash kernel (and with it the
+    # relaxed dots_saveable remat — the measured 1.25x working point,
+    # BENCHMARKS.md "Training") needs TPU + head_dim % 128 == 0
+    attn_impl = args.attn_impl
+    if attn_impl is None:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        attn_impl = ("flash" if on_tpu
+                     and (args.d_model // args.nhead) % 128 == 0
+                     else "einsum")
+    remat = args.remat or ("dots" if attn_impl == "flash" else "full")
+
     cfg = SSRModelConfig(
         d_model=args.d_model, nhead=args.nhead,
         num_layers=args.num_decoder_layers, n_codebooks=args.n_codebooks,
@@ -130,6 +152,7 @@ def main(argv=None):
         text_vocab_size=args.text_vocab_size,
         tokens=TokenSpace(audio_vocab_size=args.audio_vocab_size,
                           max_n_spans=args.max_n_spans),
+        attn_impl=attn_impl, remat=remat,
     )
     cw = tuple(float(v) for v in args.codebook_weight.split(",")) \
         if args.codebook_weight else None

@@ -54,3 +54,18 @@ def test_train_lm_cli_end_to_end(tmp_path):
     bundle = ckpt.load_bundle(os.path.join(exp, "bundle.pkl"))
     assert bundle["model_config"]["d_model"] == 64
     assert bundle["phn2num"]  # vocab travels with the weights
+
+
+@pytest.mark.slow
+def test_train_lm_cli_flash_flags(tmp_path):
+    """--attn_impl flash --remat dots flow through to the model config (on
+    CPU the flash op numerically falls back to the reference einsum path)."""
+    root = make_synth_corpus(tmp_path)
+    exp = str(tmp_path / "exp_flash")
+    train_lm.main(["--exp_dir", exp, "--dataset_dir", root,
+                   "--encodec_folder_name", "codes", "--num_steps", "2",
+                   "--attn_impl", "flash", "--remat", "dots", *TINY])
+    from ssr_speech_tpu.utils import checkpoint as ckpt
+    bundle = ckpt.load_bundle(os.path.join(exp, "bundle.pkl"))
+    assert bundle["model_config"]["attn_impl"] == "flash"
+    assert bundle["model_config"]["remat"] == "dots"
