@@ -11,6 +11,11 @@ beyond the standard library:
                                                   with a text frontend
                 ``prompt_codes``  [[int] x K]     optional codec prompt
                                                   (omit/empty for cold TTS)
+                ``prompt_wav``    base64 str      OR raw prompt audio (s16le
+                                                  mono PCM at the server's
+                                                  sample rate) — encoded to
+                                                  codec tokens on-device by
+                                                  the engine thread
               response: 200 ``audio/pcm;rate=R;encoding=s16le`` (signed
               16-bit little-endian PCM, mono — deliberately not ``audio/L16``,
               which RFC 2586 defines as big-endian) streamed chunk-by-chunk
@@ -50,6 +55,10 @@ from typing import Callable, Optional
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+# sentinel tag for not-yet-encoded raw-audio prompts in the pending queue
+# (identity-compared: a prepared request tuple starts with an ndarray)
+_RAW_WAV = object()
 
 # Browser demo served at GET / — the tpu-native stand-in for the reference's
 # hosted gradio demo (reference README.md points at a HF space): type text,
@@ -165,9 +174,16 @@ class TTSHttpServer:
 
     def _poll(self):
         try:
-            return self._pending.get_nowait()
+            req_id, prepared = self._pending.get_nowait()
         except queue.Empty:
             return None
+        if prepared[0] is _RAW_WAV:
+            # engine-thread prompt encode (admission already geometry-checked
+            # the projected frame count, so this cannot over-run the lane)
+            _, x, wav = prepared
+            codes = self._srv.encode_prompt(wav)
+            prepared = self._srv.prepare_request(x, codes)
+        return req_id, prepared
 
     def _q(self, req_id):
         with self._emit_lock:
@@ -249,11 +265,35 @@ class TTSHttpServer:
             raise ValueError("need text_ids or text")
         K = self._srv.cfg.n_codebooks
         pc = payload.get("prompt_codes")
-        y = (np.zeros((K, 0), np.int32) if pc in (None, [])
-             else np.asarray(pc, np.int32))
-        if y.ndim != 2 or y.shape[0] != K:
-            raise ValueError(f"prompt_codes must be [{K}, T]")
-        prepared = self._srv.prepare_request(x, y)  # raises on geometry
+        pw = payload.get("prompt_wav")
+        if pw is not None and pc not in (None, []):
+            raise ValueError("send prompt_codes or prompt_wav, not both")
+        if pw is not None:
+            # raw prompt audio: base64 s16le mono PCM at the server's sample
+            # rate. Validated + geometry-checked NOW (dummy codes of the
+            # projected frame count); encoded to codec tokens by the ENGINE
+            # thread at fill time — only one thread programs the TPU.
+            import base64
+            import binascii
+
+            try:
+                raw = base64.b64decode(pw, validate=True)
+            except (binascii.Error, TypeError, ValueError):
+                raise ValueError("prompt_wav must be base64")
+            if not raw or len(raw) % 2:
+                raise ValueError("prompt_wav must be non-empty s16le PCM")
+            wav = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+            hop = self._srv.codec_cfg.hop_length
+            frames = max(1, -(-len(wav) // hop))
+            dummy = np.zeros((K, frames), np.int32)
+            self._srv.prepare_request(x, dummy)  # raises on geometry
+            prepared = (_RAW_WAV, x, wav)
+        else:
+            y = (np.zeros((K, 0), np.int32) if pc in (None, [])
+                 else np.asarray(pc, np.int32))
+            if y.ndim != 2 or y.shape[0] != K:
+                raise ValueError(f"prompt_codes must be [{K}, T]")
+            prepared = self._srv.prepare_request(x, y)  # raises on geometry
         q: "queue.Queue" = queue.Queue()
         with self._emit_lock:
             req_id = self._next_id

@@ -304,6 +304,27 @@ class StreamingServer:
 
     # ------------------------------------------------------------------- API
 
+    def encode_prompt(self, wav, bucket_frames: int = 50) -> np.ndarray:
+        """Encode a raw prompt waveform (mono float [-1, 1], codec sample
+        rate) to codec tokens [K, F] on the device — for transports whose
+        clients send audio rather than codes (e.g. the HTTP server's
+        ``prompt_wav``). Frame count follows the pad-to-hop tokenizer
+        contract (``data/tokenizer.py::AudioTokenizer.encode``); the wav is
+        padded up to ``bucket_frames`` multiples so compiles stay bounded
+        (trailing frames are trimmed). MUST be called from the thread that
+        drives :meth:`serve_loop` — one thread programs the TPU."""
+        from ..models.codec import wmencodec as wm
+
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        hop = self.codec_cfg.hop_length
+        frames = max(1, -(-len(wav) // hop))
+        bucket = -(-frames // bucket_frames) * bucket_frames
+        padded = np.zeros((1, bucket * hop, 1), np.float32)
+        padded[0, : len(wav), 0] = wav
+        codes, _, _ = wm.encode(self.codec_params, jnp.asarray(padded),
+                                self.codec_cfg)
+        return np.asarray(codes)[0, :, :frames]
+
     def prepare_request(self, x, y_prompt) -> Tuple:
         """Normalize + validate one TTS request (text ids, prompt codes
         [K, T] — T may be 0). Raises on geometry violations; returns the

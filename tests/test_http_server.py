@@ -208,6 +208,45 @@ def test_concurrent_clients_parity(http_srv):
         np.testing.assert_allclose(got, want, atol=2)
 
 
+def test_prompt_wav_matches_prompt_codes(http_srv):
+    """A raw base64 PCM prompt must produce exactly the stream that posting
+    its on-device encoding as prompt_codes produces (the engine thread runs
+    the same encode_prompt), and malformed/conflicting wavs are 400s."""
+    import base64
+
+    srv, lm, codec = http_srv
+    rng = np.random.default_rng(17)
+    ts = CFG.tokens
+    x = rng.integers(0, CFG.text_vocab_size - 1, size=(36,))
+    hop = CODEC.hop_length
+    wav = (rng.normal(size=(hop * 10 - 3,)) * 0.1).astype(np.float32)
+    pcm = np.clip(wav * 32767, -32768, 32767).astype("<i2").tobytes()
+
+    status, _, got, _ = _post_tts(srv.address, {
+        "text_ids": x.tolist(),
+        "prompt_wav": base64.b64encode(pcm).decode()})
+    assert status == 200 and len(got)
+
+    codes = srv._srv.encode_prompt(np.frombuffer(pcm, "<i2")
+                                   .astype(np.float32) / 32768.0)
+    assert codes.shape == (CFG.n_codebooks, 10)  # pad-to-hop frame count
+    status2, _, want, _ = _post_tts(srv.address, {
+        "text_ids": x.tolist(), "prompt_codes": codes.tolist()})
+    assert status2 == 200
+    assert got == want
+
+    # malformed / conflicting prompts are admission-time 400s
+    for bad in [{"prompt_wav": "!!!not-base64!!!"},
+                {"prompt_wav": base64.b64encode(b"abc").decode()},  # odd len
+                {"prompt_wav": base64.b64encode(pcm).decode(),
+                 "prompt_codes": codes.tolist()},
+                {"prompt_wav": base64.b64encode(b"\0" * 2 * hop * 2000)
+                 .decode()}]:  # oversize vs server geometry
+        status, _, body, _ = _post_tts(srv.address,
+                                       {"text_ids": x.tolist(), **bad})
+        assert status == 400, (bad.keys(), body)
+
+
 def test_client_disconnect_frees_lane(http_srv):
     """A client that drops mid-stream must not wedge the engine: its lane
     finishes the (bounded) utterance, the dead socket's BrokenPipe drops the
