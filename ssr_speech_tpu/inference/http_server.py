@@ -436,6 +436,9 @@ def main(argv=None):
     p.add_argument("--model_path", required=True)
     p.add_argument("--codec_path", required=True)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--language", default="en", choices=["en", "zh"],
+                   help="text-frontend phonemizer language (like the "
+                        "inference CLI: en-us / cmn espeak voices)")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--n_slots", type=int, default=8)
     p.add_argument("--chunk_frames", type=int, default=25)
@@ -460,11 +463,13 @@ def main(argv=None):
         params, cfg, dec, audio_tok.params, audio_tok.cfg, args.n_slots,
         chunk_frames=args.chunk_frames, sx_pad=args.sx_pad, p_pad=args.p_pad)
 
+    lang = "cmn" if args.language == "zh" else "en-us"
+
     def text_to_ids(text):
         from ..data.tokenizer import TextTokenizer
         from .pipeline import text_to_ids as t2i
         if not hasattr(text_to_ids, "_tok"):
-            text_to_ids._tok = TextTokenizer()
+            text_to_ids._tok = TextTokenizer(language=lang)
         return t2i(text_to_ids._tok, phn2num, text)
 
     http = TTSHttpServer(server, host=args.host, port=args.port,
