@@ -138,10 +138,9 @@ def _device_warmup(retries: int = 5, wait: float = 60.0):
                   f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             if i == retries - 1:
                 raise
-            try:
-                jax.clear_backends()
-            except Exception:  # noqa: BLE001 - best effort
-                pass
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
             time.sleep(wait)
 
 

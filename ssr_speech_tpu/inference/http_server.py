@@ -178,11 +178,23 @@ class TTSHttpServer:
         except queue.Empty:
             return None
         if prepared[0] is _RAW_WAV:
-            # engine-thread prompt encode (admission already geometry-checked
-            # the projected frame count, so this cannot over-run the lane)
+            # engine-thread prompt encode (admission geometry-checked the
+            # projected frame count). Errors here — a transient device
+            # failure, a shape the admission dummy could not foresee — must
+            # fail THIS request, never the serving loop all clients share.
             _, x, wav = prepared
-            codes = self._srv.encode_prompt(wav)
-            prepared = self._srv.prepare_request(x, codes)
+            try:
+                codes = self._srv.encode_prompt(wav)
+                prepared = self._srv.prepare_request(x, codes)
+            except Exception as e:  # noqa: BLE001 - isolate the request
+                logger.exception("prompt encode failed for request %s",
+                                 req_id)
+                q = self._q(req_id)
+                if q is not None:
+                    q.put(("error", f"{type(e).__name__}: {e}"))
+                with self._emit_lock:
+                    self._emit.pop(req_id, None)
+                return None
         return req_id, prepared
 
     def _q(self, req_id):
@@ -203,6 +215,14 @@ class TTSHttpServer:
 
     def _run_engine(self):
         try:
+            # pre-warm the first prompt-encode bucket so the first raw-audio
+            # request doesn't stall every lane on a new-shape compile (the
+            # engine thread is the only one allowed to program the device)
+            try:
+                self._srv.encode_prompt(
+                    np.zeros(self._srv.codec_cfg.hop_length, np.float32))
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                logger.exception("prompt-encode prewarm failed")
             self._srv.serve_loop(
                 self._poll, on_chunk=self._on_chunk, on_done=self._on_done,
                 rng=self._rng, should_stop=self._stop.is_set)
@@ -283,8 +303,16 @@ class TTSHttpServer:
             if not raw or len(raw) % 2:
                 raise ValueError("prompt_wav must be non-empty s16le PCM")
             wav = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
-            hop = self._srv.codec_cfg.hop_length
-            frames = max(1, -(-len(wav) // hop))
+            # the codec's code space must fit the LM's audio vocab, else
+            # fill-time codes would fail the range check the zero-valued
+            # dummy passes (a server-config mismatch, not a client error)
+            bins = self._srv.codec_cfg.rvq.bins
+            if bins > self._srv.cfg.tokens.audio_vocab_size:
+                raise ValueError(
+                    f"server codec emits codes in [0, {bins}) but the LM "
+                    f"audio vocab is {self._srv.cfg.tokens.audio_vocab_size}"
+                    " — send prompt_codes, or fix the server bundles")
+            frames = self._srv.projected_prompt_frames(wav)
             dummy = np.zeros((K, frames), np.int32)
             self._srv.prepare_request(x, dummy)  # raises on geometry
             prepared = (_RAW_WAV, x, wav)

@@ -304,7 +304,14 @@ class StreamingServer:
 
     # ------------------------------------------------------------------- API
 
-    def encode_prompt(self, wav, bucket_frames: int = 50) -> np.ndarray:
+    def projected_prompt_frames(self, wav) -> int:
+        """Frame count :meth:`encode_prompt` will produce for ``wav`` — the
+        pad-to-hop tokenizer contract. Admission-time geometry checks MUST
+        use this so fill-time cannot see a different shape."""
+        n = np.asarray(wav).reshape(-1).shape[0]
+        return max(1, -(-n // self.codec_cfg.hop_length))
+
+    def encode_prompt(self, wav, bucket_frames: int = 150) -> np.ndarray:
         """Encode a raw prompt waveform (mono float [-1, 1], codec sample
         rate) to codec tokens [K, F] on the device — for transports whose
         clients send audio rather than codes (e.g. the HTTP server's
@@ -317,7 +324,10 @@ class StreamingServer:
 
         wav = np.asarray(wav, np.float32).reshape(-1)
         hop = self.codec_cfg.hop_length
-        frames = max(1, -(-len(wav) // hop))
+        frames = self.projected_prompt_frames(wav)
+        # coarse buckets (default 3 s) keep the compile count low; callers
+        # can pre-warm the first bucket before serving (the engine thread
+        # otherwise stalls all lanes on a new-shape compile)
         bucket = -(-frames // bucket_frames) * bucket_frames
         padded = np.zeros((1, bucket * hop, 1), np.float32)
         padded[0, : len(wav), 0] = wav

@@ -211,43 +211,55 @@ def main(argv=None):
     prof = Profiler(logdir=os.path.join(args.exp_dir, "profile"),
                     enabled=args.profile_steps > 0,
                     num_steps=args.profile_steps)
-    with watchdog:
-        for epoch in range(args.epochs):
-            for wav in PrefetchIterator(
-                    ds.batches(args.batch_size, args.updates), depth=2):
-                watchdog.update("batch")
-                labels, keep = wm.sample_watermark_mask(
-                    rng, wav.shape[0], frames, hop)
-                state, metrics = step_fn(state, shard_batch(jnp.asarray(wav)),
-                                         shard_batch(jnp.asarray(labels)),
-                                         shard_batch(jnp.asarray(keep)))
-                watchdog.update("step")
-                prof.step()
-                step += 1
-                if step % 50 == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    logger.info("epoch %d step %d %s", epoch, step,
-                                {k: round(v, 4) for k, v in m.items()})
-                if step % args.eval_every == 0:
-                    wav_eval = jnp.asarray(
-                        next(ds.batches(args.batch_size, 1)))
-                    sisnr = float(
-                        codec_trainer.evaluate_sisnr(state, cfg, wav_eval))
-                    logger.info("eval si-snr %.2f dB", sisnr)
-                if args.generate_every and step % args.generate_every == 0:
-                    generate_stage(epoch, step)
-                if step % args.save_every == 0:
-                    full = dict(encoder=state.frozen["encoder"],
-                                decoder=state.frozen["decoder"],
-                                quantizer=state.frozen["quantizer"],
-                                wmdecoder=state.ema_params)
-                    ckpt.save_bundle(
-                        os.path.join(args.exp_dir, "codec_bundle.pkl"),
-                        params=full,
-                        config=dataclasses.asdict(cfg),
-                        step=step,
-                    )
-    prof.close()
+    # the GAN step / eval / generate each first-compile in minutes on a
+    # cold cache (BENCHMARKS.md) — beacon those gaps with a longer grace
+    grace = max(4 * args.deadlock_timeout, 2400.0)
+    try:
+        with watchdog:
+            for epoch in range(args.epochs):
+                for wav in PrefetchIterator(
+                        ds.batches(args.batch_size, args.updates), depth=2):
+                    labels, keep = wm.sample_watermark_mask(
+                        rng, wav.shape[0], frames, hop)
+                    watchdog.update("dispatch", next_timeout=grace)
+                    state, metrics = step_fn(
+                        state, shard_batch(jnp.asarray(wav)),
+                        shard_batch(jnp.asarray(labels)),
+                        shard_batch(jnp.asarray(keep)))
+                    watchdog.update("step")
+                    prof.step()
+                    step += 1
+                    if step % 50 == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        logger.info("epoch %d step %d %s", epoch, step,
+                                    {k: round(v, 4) for k, v in m.items()})
+                    if step % args.eval_every == 0:
+                        watchdog.update("eval", next_timeout=grace)
+                        wav_eval = jnp.asarray(
+                            next(ds.batches(args.batch_size, 1)))
+                        sisnr = float(codec_trainer.evaluate_sisnr(
+                            state, cfg, wav_eval))
+                        logger.info("eval si-snr %.2f dB", sisnr)
+                    if args.generate_every and \
+                            step % args.generate_every == 0:
+                        watchdog.update("generate", next_timeout=grace)
+                        generate_stage(epoch, step)
+                    if step % args.save_every == 0:
+                        # checkpoint pull: full state device->host (~120 s
+                        # for the 1.6 GB state on the tunneled backend)
+                        watchdog.update("save", next_timeout=grace)
+                        full = dict(encoder=state.frozen["encoder"],
+                                    decoder=state.frozen["decoder"],
+                                    quantizer=state.frozen["quantizer"],
+                                    wmdecoder=state.ema_params)
+                        ckpt.save_bundle(
+                            os.path.join(args.exp_dir, "codec_bundle.pkl"),
+                            params=full,
+                            config=dataclasses.asdict(cfg),
+                            step=step,
+                        )
+    finally:
+        prof.close()
     if step:
         generate_stage(epoch, step)
     logger.info("done: %d steps", step)

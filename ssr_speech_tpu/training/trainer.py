@@ -249,6 +249,8 @@ class Trainer:
                        ("train_loss", "train_top10acc", "data_time", "train_time")}
         self.total_step = total
         self.writer = MetricsWriter(self.exp_dir)
+        self._watchdog: Optional[DeadlockDetect] = None
+        self._compile_grace = 1800.0
 
     # ------------------------------------------------------------- loop
 
@@ -257,9 +259,6 @@ class Trainer:
         benchmark the step loop without I/O (reference
         audiocraft/config/config.yaml:21, solvers/base.py:527-530)."""
         tcfg = self.tcfg
-        flag = True
-        data_start = time.time()
-        bench_batch = None
         # stall watchdog + first-steps profiler (reference DeadlockDetect
         # beacons + profiler wrapper, solvers/base.py:536-554) — both off by
         # default; armed via TrainConfig.deadlock_timeout / profile_steps
@@ -268,17 +267,24 @@ class Trainer:
         prof = Profiler(logdir=os.path.join(self.exp_dir, "profile"),
                         enabled=tcfg.profile_steps > 0,
                         num_steps=tcfg.profile_steps)
-        with watchdog:
-            self._train_loop(tcfg, benchmark_no_load, bench_batch,
-                             data_start, flag, watchdog, prof)
-        prof.close()
+        self._watchdog = watchdog
+        # any step/eval may hit a first-compile for its bucket shape
+        # (minutes); grant those gaps a longer allowance than host gaps
+        self._compile_grace = max(4 * tcfg.deadlock_timeout, 1800.0)
+        try:
+            with watchdog:
+                self._train_loop(tcfg, benchmark_no_load, watchdog, prof)
+        finally:
+            prof.close()
+            self._watchdog = None
         return self.progress
 
-    def _train_loop(self, tcfg, benchmark_no_load, bench_batch, data_start,
-                    flag, watchdog, prof):
+    def _train_loop(self, tcfg, benchmark_no_load, watchdog, prof):
+        flag = True
+        bench_batch = None
+        data_start = time.time()
         while flag:
             for batch in self.train_loader(self.progress["epoch"]):
-                watchdog.update("batch")
                 if benchmark_no_load:
                     if bench_batch is None:
                         bench_batch = batch
@@ -289,6 +295,7 @@ class Trainer:
                     break
                 data_end = time.time()
                 self.rng, step_key = jax.random.split(self.rng)
+                watchdog.update("dispatch", next_timeout=self._compile_grace)
                 with profiler_annotate("train_step"):
                     self.params, self.opt_state, metrics = self.train_step(
                         self.params, self.opt_state, batch, step_key
@@ -320,7 +327,6 @@ class Trainer:
                     if np.isnan(self.meters["train_loss"].avg):
                         raise RuntimeError("training diverged...")
                 if step > 0 and step % tcfg.val_every_n_steps == 0:
-                    watchdog.update("valid")
                     if not self.validate_and_save():
                         flag = False
                         break
@@ -341,6 +347,11 @@ class Trainer:
             return float("nan")
         tot = np.zeros(3)
         for batch in self.valid_loader():
+            if self._watchdog is not None:
+                # per-batch beacons (reference beacons every stage's batch);
+                # eval compiles once per bucket shape too
+                self._watchdog.update("valid_batch",
+                                      next_timeout=self._compile_grace)
             m = jax.device_get(self.eval_step(self.params, batch))
             tot += np.array([float(m["loss"]), float(m["top10acc"]),
                              float(m["ntokens"])])
@@ -355,6 +366,10 @@ class Trainer:
         """Returns False when early stopping triggers
         (reference trainer.py:200-244)."""
         score = self.validate()
+        if self._watchdog is not None:
+            # bundle saves pull the full train state device->host (~minutes
+            # for GB-scale states on a tunneled backend)
+            self._watchdog.update("save", next_timeout=self._compile_grace)
         step = self.progress["step"]
         if not np.isnan(score) and score < self.progress["best_score"] - max(
             self.tcfg.early_stop_threshold, 0.0

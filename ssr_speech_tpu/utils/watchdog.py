@@ -23,15 +23,21 @@ logger = logging.getLogger(__name__)
 
 
 class DeadlockDetect:
+    """``update(stage)`` feeds the beacon; ``update(stage, next_timeout=T)``
+    additionally grants the NEXT gap a longer allowance — XLA programs
+    compile lazily per bucket shape (minutes on first contact), so loops
+    beacon ``update("dispatch", next_timeout=grace)`` right before a call
+    that may legitimately compile, and plain ``update("step")`` after."""
+
     def __init__(self, use: bool = False, timeout: float = 600.0):
         self.use = use
         self.timeout = timeout
-        self._queue: "queue.Queue[str]" = queue.Queue()
+        self._queue: "queue.Queue[tuple]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
 
-    def update(self, stage: str):
+    def update(self, stage: str, next_timeout: Optional[float] = None):
         if self.use:
-            self._queue.put(stage)
+            self._queue.put((stage, next_timeout))
 
     def __enter__(self):
         if self.use:
@@ -41,19 +47,21 @@ class DeadlockDetect:
 
     def __exit__(self, *exc):
         if self.use:
-            self._queue.put("exit")
+            self._queue.put(("exit", None))
 
     def _loop(self):
+        timeout = self.timeout
         while True:
             try:
-                stage = self._queue.get(timeout=self.timeout)
+                stage, nxt = self._queue.get(timeout=timeout)
             except queue.Empty:
                 logger.error(
                     "deadlock detected: no beacon for %.0fs, dumping stacks "
-                    "and aborting", self.timeout,
+                    "and aborting", timeout,
                 )
                 faulthandler.dump_traceback(file=sys.stderr, all_threads=True)
                 os.kill(os.getpid(), signal.SIGKILL)
             else:
                 if stage == "exit":
                     return
+                timeout = nxt if nxt is not None else self.timeout

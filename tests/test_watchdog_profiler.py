@@ -34,6 +34,20 @@ def test_watchdog_beacons_prevent_firing(monkeypatch):
     assert not killed.is_set()
 
 
+def test_watchdog_grace_extends_one_gap(monkeypatch):
+    """update(..., next_timeout=G) grants the NEXT gap G seconds (first
+    compiles / checkpoint pulls), then the base timeout resumes."""
+    killed = threading.Event()
+    monkeypatch.setattr(wd_mod.os, "kill", lambda pid, sig: killed.set())
+    wd = wd_mod.DeadlockDetect(use=True, timeout=0.3)
+    with wd:
+        wd.update("dispatch", next_timeout=3.0)
+        time.sleep(1.0)  # > timeout but < grace: must NOT fire
+        assert not killed.is_set()
+        wd.update("step")  # grace consumed; base timeout resumes
+        assert killed.wait(timeout=5.0), "base timeout did not resume"
+
+
 def test_watchdog_disabled_is_inert():
     wd = wd_mod.DeadlockDetect(use=False, timeout=0.01)
     with wd:
