@@ -49,6 +49,7 @@ import json
 import logging
 import queue
 import threading
+import time as time_mod
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional
 
@@ -161,6 +162,11 @@ class TTSHttpServer:
         self._emit = {}  # req_id -> per-request emission queue
         self._emit_lock = threading.Lock()
         self._next_id = 0
+        # serving counters (reported by /health); guarded by _emit_lock
+        self._stats = dict(admitted=0, completed=0, rejected=0, errors=0,
+                           chunks=0, pcm_seconds=0.0)
+        self._ttfa: list = []  # seconds from admission to first chunk
+        self._admit_t = {}  # req_id -> admission clock time
         self._stop = threading.Event()
         self._engine_err: Optional[str] = None
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
@@ -194,6 +200,8 @@ class TTSHttpServer:
                     q.put(("error", f"{type(e).__name__}: {e}"))
                 with self._emit_lock:
                     self._emit.pop(req_id, None)
+                    self._admit_t.pop(req_id, None)
+                    self._stats["errors"] += 1
                 return None
         return req_id, prepared
 
@@ -205,6 +213,13 @@ class TTSHttpServer:
         q = self._q(req_id)
         if q is not None:
             q.put(("chunk", wav, t))
+        with self._emit_lock:
+            self._stats["chunks"] += 1
+            self._stats["pcm_seconds"] += len(wav) / self._sample_rate
+            t0 = self._admit_t.pop(req_id, None)
+            if t0 is not None:
+                self._ttfa.append(time_mod.monotonic() - t0)
+                del self._ttfa[:-512]  # rolling window
 
     def _on_done(self, req_id, codes, wav, first_at, t):
         q = self._q(req_id)
@@ -212,6 +227,8 @@ class TTSHttpServer:
             q.put(("done", first_at, t))
         with self._emit_lock:
             self._emit.pop(req_id, None)
+            self._admit_t.pop(req_id, None)
+            self._stats["completed"] += 1
 
     def _run_engine(self):
         try:
@@ -340,7 +357,14 @@ class TTSHttpServer:
             with self._emit_lock:
                 self._emit.pop(req_id, None)
             raise RuntimeError(self._engine_err)
+        with self._emit_lock:
+            self._stats["admitted"] += 1
+            self._admit_t[req_id] = time_mod.monotonic()
         return req_id, q
+
+    def _count(self, key: str):
+        with self._emit_lock:
+            self._stats[key] += 1
 
     def _make_handler(outer):  # noqa: N805 - closure over the server
         class Handler(BaseHTTPRequestHandler):
@@ -380,13 +404,23 @@ class TTSHttpServer:
                     return self._json(404, {"error": "unknown path"})
                 st = ("error" if outer._engine_err else
                       "stopping" if outer._stop.is_set() else "ok")
+                with outer._emit_lock:
+                    stats = dict(outer._stats)
+                    ttfa = sorted(outer._ttfa)
+                if ttfa:
+                    stats["ttfa_p50_ms"] = round(
+                        1e3 * ttfa[len(ttfa) // 2], 1)
+                    stats["ttfa_p95_ms"] = round(
+                        1e3 * ttfa[min(len(ttfa) - 1,
+                                       int(0.95 * len(ttfa)))], 1)
+                stats["pcm_seconds"] = round(stats["pcm_seconds"], 2)
                 # non-200 when unservable so LB probes keyed on HTTP status
                 # eject a dead/stopping instance
                 self._json(200 if st == "ok" else 503, dict(
                     status=st, lanes=outer._srv._server.S,
                     pending=outer._pending.qsize(),
                     sample_rate=outer._sample_rate,
-                    error=outer._engine_err))
+                    error=outer._engine_err, **stats))
 
             # generous bound: the largest legal request (p_pad codec frames
             # x K codebooks + sx_pad text ids as JSON ints) is ~100 KB; cap
@@ -410,8 +444,10 @@ class TTSHttpServer:
                     req_id, q = outer._admit(payload)
                 except (ValueError, KeyError, TypeError, OverflowError,
                         json.JSONDecodeError) as e:
+                    outer._count("rejected")
                     return self._json(400, {"error": str(e)})
                 except RuntimeError as e:
+                    outer._count("rejected")
                     return self._json(503, {"error": str(e)})
                 self.send_response(200)
                 # NOT audio/L16: RFC 2586 L16 is big-endian; the body is s16le

@@ -86,6 +86,30 @@ def test_health(http_srv):
     body = json.loads(resp.read())
     assert resp.status == 200 and body["status"] == "ok"
     assert body["lanes"] == 2 and body["sample_rate"] == 16000
+    for k in ("admitted", "completed", "rejected", "errors", "chunks",
+              "pcm_seconds"):
+        assert k in body, k
+
+
+def test_health_counters_advance(http_srv):
+    """After a served request, /health shows it admitted+completed with
+    TTFA percentiles and PCM seconds accounted."""
+    srv, _, _ = http_srv
+    rng = np.random.default_rng(23)
+    x = rng.integers(0, CFG.text_vocab_size - 1, size=(20,))
+    status, _, pcm, _ = _post_tts(srv.address, {"text_ids": x.tolist()})
+    assert status == 200
+    deadline = time.time() + 30
+    while time.time() < deadline:  # done-callback races the body close
+        conn = http.client.HTTPConnection(*srv.address, timeout=30)
+        conn.request("GET", "/health")
+        body = json.loads(conn.getresponse().read())
+        if body["completed"] >= 1:
+            break
+        time.sleep(0.1)
+    assert body["admitted"] >= 1 and body["completed"] >= 1
+    assert body["chunks"] >= 1 and body["pcm_seconds"] > 0
+    assert "ttfa_p50_ms" in body and body["ttfa_p50_ms"] > 0
 
 
 def test_demo_page(http_srv):
