@@ -115,6 +115,7 @@ def test_max_audio_duration_filter(tmp_path):
     assert len(ds) == 1
 
 
+@pytest.mark.slow
 def test_codec_gan_smoke_from_weighted_manifest(tmp_path):
     """train_codec runs end-to-end on a weighted manifest with the sampling
     flags (VERDICT item 6 'Done' bar)."""

@@ -216,6 +216,7 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
                                   np.asarray(tree["b"]["c"]))
 
 
+@pytest.mark.slow
 def test_configurable_losses_and_mse_adversary():
     """The full reference loss space is selectable: extra mel/mstft/l2
     reconstruction terms in the balancer and the mse adversarial family

@@ -122,6 +122,7 @@ def test_flash_grads_match_einsum():
                                    atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_flash_shard_map_train_step_matches_unsharded():
     """The shard_map'ed flash path (batch on dp, heads on tp) under the
     GSPMD train step produces the same loss as the single-device flash step

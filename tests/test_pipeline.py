@@ -65,6 +65,7 @@ def test_pipeline_forward_matches_plain(pp, tp, unroll):
         assert err < 1e-5, err
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pp,tp", [(2, 1), (2, 2)])
 def test_pipeline_grads_match_single_device(pp, tp):
     cfg = _cfg()

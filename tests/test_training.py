@@ -310,6 +310,7 @@ def test_lognormal_bucket_warping(tmp_path):
         assert b["x"].ndim == 2 and b["y"].ndim == 3
 
 
+@pytest.mark.slow
 def test_unrolled_layer_loop_matches_scan():
     """transformer_forward(unroll=True) — the 1.58x TPU training path — must
     match the lax.scan path exactly (same body, same dropout key chain),
@@ -332,6 +333,7 @@ def test_unrolled_layer_loop_matches_scan():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_batcher_pads_rows_to_world_multiple(tmp_path):
     """With world_size > 1 every batch's row count is a multiple of it
     (zero-length pad rows fill up after corrupt-item drops) and the pad rows
