@@ -248,6 +248,8 @@ class TTSHttpServer:
             self._engine_err = f"{type(e).__name__}: {e}"
             with self._emit_lock:
                 qs, self._emit = list(self._emit.values()), {}
+                self._stats["errors"] += len(qs)
+                self._admit_t.clear()
             for q in qs:
                 q.put(("error", self._engine_err))
 
@@ -271,6 +273,8 @@ class TTSHttpServer:
         # a queue no engine will ever feed — wake every remaining waiter
         with self._emit_lock:
             qs, self._emit = list(self._emit.values()), {}
+            self._stats["errors"] += len(qs)
+            self._admit_t.clear()
         for q in qs:
             q.put(("error", "server stopped"))
         self._httpd.shutdown()
@@ -344,22 +348,29 @@ class TTSHttpServer:
             req_id = self._next_id
             self._next_id += 1
             self._emit[req_id] = q
+            # stats BEFORE the queue insert: once the engine can see the
+            # request it may emit chunks (or finish) immediately, and the
+            # TTFA bookkeeping must already exist
+            self._stats["admitted"] += 1
+            self._admit_t[req_id] = time_mod.monotonic()
+
+        def _rollback():
+            with self._emit_lock:
+                self._emit.pop(req_id, None)
+                self._admit_t.pop(req_id, None)
+                self._stats["admitted"] -= 1
+
         try:
             self._pending.put_nowait((req_id, prepared))
         except queue.Full:
-            with self._emit_lock:
-                self._emit.pop(req_id, None)
+            _rollback()
             raise ValueError("server queue full, retry later")
         # close the admit-vs-engine-death race: if the engine died between
         # the check at entry and our insert, its error broadcast may have
         # missed this queue — re-check and refuse instead of hanging a client
         if self._engine_err:
-            with self._emit_lock:
-                self._emit.pop(req_id, None)
+            _rollback()
             raise RuntimeError(self._engine_err)
-        with self._emit_lock:
-            self._stats["admitted"] += 1
-            self._admit_t[req_id] = time_mod.monotonic()
         return req_id, q
 
     def _count(self, key: str):
@@ -435,9 +446,11 @@ class TTSHttpServer:
                     if n < 0:
                         # read(-1) would block until the client closes —
                         # a held socket pins a handler thread (DoS)
+                        outer._count("rejected")
                         return self._json(
                             400, {"error": "invalid Content-Length"})
                     if n > self.MAX_BODY:
+                        outer._count("rejected")
                         return self._json(
                             413, {"error": f"body exceeds {self.MAX_BODY} B"})
                     payload = json.loads(self.rfile.read(n) or b"{}")

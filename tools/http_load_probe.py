@@ -19,6 +19,7 @@ import os
 import sys
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -27,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(__doc__)
+    p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_path", required=True)
     p.add_argument("--codec_path", required=True)
     p.add_argument("--n_slots", type=int, default=8)
@@ -63,30 +64,36 @@ def main(argv=None):
 
     rng = np.random.default_rng(args.seed)
     arrivals = np.cumsum(rng.exponential(1.0 / args.rate, args.clients))
+    # payloads drawn on the MAIN thread: np Generators are not thread-safe
+    payloads = [json.dumps({"text_ids": rng.integers(
+        0, cfg.text_vocab_size - 1, size=(args.text_len,)).tolist()}).encode()
+        for _ in range(args.clients)]
     results = [None] * args.clients
 
     def client(i):
-        x = rng.integers(0, cfg.text_vocab_size - 1,
-                         size=(args.text_len,)).tolist()
-        body = json.dumps({"text_ids": x}).encode()
         req = urllib.request.Request(
-            base + "/tts", data=body,
+            base + "/tts", data=payloads[i],
             headers={"Content-Type": "application/json"})
         t0 = time.monotonic()
         try:
             resp = urllib.request.urlopen(req, timeout=600)
+            first = None
+            nbytes = 0
+            while True:
+                b = resp.read(8192)
+                if not b:
+                    break
+                if first is None:
+                    first = time.monotonic() - t0
+                nbytes += len(b)
         except Exception as e:  # noqa: BLE001 - report, keep probing
             results[i] = dict(error=f"{type(e).__name__}: {e}")
             return
-        first = None
-        nbytes = 0
-        while True:
-            b = resp.read(8192)
-            if not b:
-                break
-            if first is None:
-                first = time.monotonic() - t0
-            nbytes += len(b)
+        if nbytes == 0:
+            # error-truncated stream: the server signals a failed request
+            # by closing the body early (module docstring contract)
+            results[i] = dict(error="empty body (server-side error)")
+            return
         results[i] = dict(ttfa=first, total=time.monotonic() - t0,
                           pcm_s=nbytes / 2 / audio_tok.sample_rate)
 
@@ -104,11 +111,16 @@ def main(argv=None):
     wall = time.monotonic() - t_start
 
     ok = [r for r in results if r and "error" not in r]
-    errs = [r for r in results if r and "error" in r]
+    errs = [r for r in results if (r is None or "error" in r)]
     ttfa = np.array(sorted(r["ttfa"] for r in ok if r["ttfa"] is not None))
     tot = np.array(sorted(r["total"] for r in ok))
     pcm = sum(r["pcm_s"] for r in ok)
-    health = json.loads(urllib.request.urlopen(base + "/health").read())
+    try:  # /health answers 503 when the engine died — still read the body
+        health = json.loads(urllib.request.urlopen(base + "/health").read())
+    except urllib.error.HTTPError as e:
+        health = json.loads(e.read() or b"{}")
+    except Exception as e:  # noqa: BLE001 - never lose the client report
+        health = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(dict(
         clients=args.clients, ok=len(ok), errors=len(errs),
         ttfa_p50_s=round(float(np.percentile(ttfa, 50)), 3) if len(ttfa) else None,
@@ -119,7 +131,7 @@ def main(argv=None):
         health=health,
     )), flush=True)
     if errs:
-        print("errors:", errs[:3], file=sys.stderr)
+        print("errors:", [r for r in errs if r][:3], file=sys.stderr)
     http.shutdown()
 
 
