@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sub_amount", type=float, default=0.12,
                    help="seconds to add around each edit span")
     p.add_argument("--codec_sr", type=int, default=50)
+    p.add_argument("--codec_audio_sr", type=int, default=None,
+                   help="output wav header rate (reference "
+                        "inference_v2.py:161,337 labels the save with this "
+                        "value); default: the codec bundle's sample rate")
     p.add_argument("--top_k", type=int, default=0)
     p.add_argument("--top_p", type=float, default=0.8)
     p.add_argument("--temperature", type=float, default=1.0)
@@ -58,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--savename", type=str, default="output")
     p.add_argument("--whisper_model", type=str, default=None,
                    help="HF whisper id for on-host ASR+alignment")
+    p.add_argument("--whisper_model_name", type=str, default=None,
+                   choices=["base.en", "base"],
+                   help="reference-CLI spelling (inference_v2.py:186): "
+                        "short OpenAI model name, mapped to the HF id "
+                        "openai/whisper-<name>")
     p.add_argument("--align_model", type=str, default=None,
                    help="HF wav2vec2-CTC id for forced alignment of the "
                         "transcript (the whisperx-style pass, reference "
@@ -215,6 +224,14 @@ def main(argv=None):
     )
 
     os.makedirs(args.output_dir, exist_ok=True)
+    # reference-CLI aliases
+    if args.whisper_model_name and not args.whisper_model:
+        args.whisper_model = f"openai/whisper-{args.whisper_model_name}"
+    out_sr = args.codec_audio_sr or audio_tok.sample_rate
+    if out_sr != audio_tok.sample_rate:
+        logging.warning("--codec_audio_sr %d != codec sample rate %d: the "
+                        "wav header is labeled %d (reference behavior, no "
+                        "resample)", out_sr, audio_tok.sample_rate, out_sr)
     if args.sample_batch_size > 1:
         # all seeds decoded in one compiled loop (vs the reference's
         # sequential per-seed decodes, inference_v2.py:331-337)
@@ -227,7 +244,7 @@ def main(argv=None):
         for i, out in enumerate(outs):
             audio_io.write_wav(
                 os.path.join(args.output_dir, f"{args.savename}_seed{args.seed + i}.wav"),
-                out[0, :, 0], audio_tok.sample_rate)
+                out[0, :, 0], out_sr)
     else:
         out = pipeline.inference_one_sample(
             params, cfg, dec, phn2num, text_tok, audio_tok,
@@ -235,7 +252,7 @@ def main(argv=None):
             use_watermark=args.use_watermark, tts=args.tts, seed=args.seed,
         )
         out_path = os.path.join(args.output_dir, f"{args.savename}.wav")
-        audio_io.write_wav(out_path, out[0, :, 0], audio_tok.sample_rate)
+        audio_io.write_wav(out_path, out[0, :, 0], out_sr)
         if args.tts and args.whisper_model:
             # trim residual prompt audio via re-transcription
             # (reference inference_v2.py:338-354)
@@ -248,8 +265,7 @@ def main(argv=None):
                                               args.language)
             if offset > 0:
                 cut = int(offset * audio_tok.sample_rate)
-                audio_io.write_wav(out_path, out[0, cut:, 0],
-                                   audio_tok.sample_rate)
+                audio_io.write_wav(out_path, out[0, cut:, 0], out_sr)
     logging.info("Running time: %.2f s", time.time() - t0)
 
 
