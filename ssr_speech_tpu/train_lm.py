@@ -71,6 +71,7 @@ def build_parser():
     p.add_argument("--mask_sample_dist", default="poisson1")
     p.add_argument("--max_n_spans", type=int, default=3)
     p.add_argument("--mask_len_min", type=int, default=1)
+    p.add_argument("--mask_len_max", type=int, default=600)
     p.add_argument("--min_gap", type=int, default=5)
     p.add_argument("--max_mask_portion", type=float, default=0.9)
     p.add_argument("--tts_enhanced", type=int, default=1)
@@ -82,7 +83,18 @@ def build_parser():
                    help="comma separated, e.g. 5,1,0.5,0.1")
     # model
     p.add_argument("--d_model", type=int, default=2048)
+    p.add_argument("--audio_embedding_dim", type=int, default=None,
+                   help="default: d_model")
     p.add_argument("--nhead", type=int, default=16)
+    # dropouts (reference config.py flags of the same names)
+    p.add_argument("--trm_dropout", type=float, default=0.1)
+    p.add_argument("--text_embedding_dropout", type=float, default=0.1)
+    p.add_argument("--audio_embedding_dropout", type=float, default=0.0)
+    p.add_argument("--text_positional_embedding_dropout", type=float,
+                   default=0.1)
+    p.add_argument("--audio_positional_embedding_dropout", type=float,
+                   default=0.1)
+    p.add_argument("--tb_write_every_n_steps", type=int, default=100)
     p.add_argument("--num_decoder_layers", type=int, default=16)
     p.add_argument("--audio_vocab_size", type=int, default=2048)
     p.add_argument("--text_vocab_size", type=int, default=100)
@@ -148,11 +160,18 @@ def main(argv=None):
     cfg = SSRModelConfig(
         d_model=args.d_model, nhead=args.nhead,
         num_layers=args.num_decoder_layers, n_codebooks=args.n_codebooks,
-        audio_embedding_dim=args.d_model,
+        audio_embedding_dim=args.audio_embedding_dim or args.d_model,
         text_vocab_size=args.text_vocab_size,
         tokens=TokenSpace(audio_vocab_size=args.audio_vocab_size,
                           max_n_spans=args.max_n_spans),
         attn_impl=attn_impl, remat=remat,
+        trm_dropout=args.trm_dropout,
+        text_embedding_dropout=args.text_embedding_dropout,
+        audio_embedding_dropout=args.audio_embedding_dropout,
+        text_positional_embedding_dropout=(
+            args.text_positional_embedding_dropout),
+        audio_positional_embedding_dropout=(
+            args.audio_positional_embedding_dropout),
     )
     cw = tuple(float(v) for v in args.codebook_weight.split(",")) \
         if args.codebook_weight else None
@@ -164,6 +183,7 @@ def main(argv=None):
         print_every_n_steps=args.print_every_n_steps,
         early_stop_step=args.early_stop_step,
         early_stop_threshold=args.early_stop_threshold,
+        tb_write_every_n_steps=args.tb_write_every_n_steps,
         codebook_weight=cw,
         deadlock_timeout=args.deadlock_timeout,
         profile_steps=args.profile_steps,
@@ -181,6 +201,7 @@ def main(argv=None):
         masking=MaskingConfig(
             mask_sample_dist=args.mask_sample_dist,
             max_n_spans=args.max_n_spans, mask_len_min=args.mask_len_min,
+            mask_len_max=args.mask_len_max,
             min_gap=args.min_gap, max_mask_portion=args.max_mask_portion,
             tts_enhanced=args.tts_enhanced, cfg_enhanced=bool(args.cfg_enhanced),
             shuffle_mask_embedding=bool(args.shuffle_mask_embedding),
