@@ -41,11 +41,11 @@ def test_watchdog_grace_extends_one_gap(monkeypatch):
     monkeypatch.setattr(wd_mod.os, "kill", lambda pid, sig: killed.set())
     wd = wd_mod.DeadlockDetect(use=True, timeout=0.3)
     with wd:
-        wd.update("dispatch", next_timeout=3.0)
-        time.sleep(1.0)  # > timeout but < grace: must NOT fire
+        wd.update("dispatch", next_timeout=30.0)
+        time.sleep(1.0)  # > timeout but << grace: must NOT fire
         assert not killed.is_set()
         wd.update("step")  # grace consumed; base timeout resumes
-        assert killed.wait(timeout=5.0), "base timeout did not resume"
+        assert killed.wait(timeout=10.0), "base timeout did not resume"
 
 
 def test_watchdog_disabled_is_inert():
