@@ -114,13 +114,53 @@ def cmd_encode(args):
 
 # ----------------------------------------------------------------- phonemize
 
+# GigaSpeech tag handling (reference data/phonemize.py:36-41): punctuation
+# tags carry a LEADING SPACE so "word <COMMA>" collapses to "word,"; garbage
+# tags are swapped for hash/percent sentinel words that espeak renders as
+# known phone sequences, which are mapped BACK to the literal tag after
+# phonemization — the tags survive into the phoneme files (and the vocab).
 _GS_PUNCT = {
-    "<COMMA>": ",", "<PERIOD>": ".", "<QUESTIONMARK>": "?",
-    "<EXCLAMATIONPOINT>": "!",
+    " <COMMA>": ",", " <PERIOD>": ".", " <QUESTIONMARK>": "?",
+    " <EXCLAMATIONPOINT>": "!",
 }
-_GS_GARBAGE = ["<SIL>", "<MUSIC>", "<NOISE>", "<OTHER>"]
+_GS_GARBAGE = {"<SIL>": "#%#", "<MUSIC>": "##%", "<NOISE>": "%%#",
+               "<OTHER>": "%#%"}
+# transcripts that already contain a sentinel would alias a tag: skip them
+# (reference data/phonemize.py:42 forbidden_words)
+_GS_FORBIDDEN = frozenset(_GS_GARBAGE.values())
+# espeak-ng en-us renderings of the sentinels (reference phonemize.py:41
+# word2sym), keyed by the rendered space-joined phone sequence -> tag
+_GS_ESPEAK_WORD2SYM = {
+    "h æ ʃ h ɐ ʃ p ɚ s ɛ n t": "<MUSIC>",
+    "h æ ʃ p ɚ s ɛ n t h æ ʃ": "<SIL>",
+    "p ɚ s ɛ n t h ɐ ʃ p ɚ s ɛ n t": "<OTHER>",
+    "p ɚ s ɛ n t p ɚ s ɛ n t h æ ʃ": "<NOISE>",
+}
 
 _worker_tok = None
+
+
+def gs_word2sym(tokenizer) -> dict:
+    """Rendered-sentinel -> tag map for the active backend: the recorded
+    espeak renderings, or the char fallback's literal characters."""
+    if tokenizer.backend is not None:
+        return dict(_GS_ESPEAK_WORD2SYM)
+    return {" ".join(sent): tag for tag, sent in _GS_GARBAGE.items()}
+
+
+def gs_phonemize_text(tokenizer, text: str):
+    """Full GigaSpeech round trip for one transcript; ``None`` = skip
+    (reference data/phonemize.py:59-77 process_one)."""
+    if any(word in _GS_FORBIDDEN for word in text.split(" ")):
+        return None
+    for tag, ch in _GS_PUNCT.items():
+        text = text.replace(tag, ch)
+    for tag, sentinel in _GS_GARBAGE.items():
+        text = text.replace(tag, sentinel)
+    phn_seq = " ".join(tokenizer(text.strip()))
+    for rendered, tag in gs_word2sym(tokenizer).items():
+        phn_seq = phn_seq.replace(rendered, tag)
+    return phn_seq
 
 
 def _phonemize_one(task):
@@ -132,13 +172,12 @@ def _phonemize_one(task):
         from .tokenizer import TextTokenizer
 
         _worker_tok = TextTokenizer(language=os.environ.get("PHN_LANG", "en-us"))
-    for tag, ch in _GS_PUNCT.items():
-        text = text.replace(tag, ch)
-    for tag in _GS_GARBAGE:
-        text = text.replace(tag, "")
-    phns = _worker_tok(text.strip())
+    phn_seq = gs_phonemize_text(_worker_tok, text)
+    if phn_seq is None:
+        logger.info("skip %s: transcript contains a sentinel word", seg_id)
+        return seg_id
     with open(os.path.join(save_dir, seg_id + ".txt"), "w") as f:
-        f.write(" ".join(phns))
+        f.write(phn_seq)
     return seg_id
 
 

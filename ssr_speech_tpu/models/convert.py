@@ -18,6 +18,7 @@ Layout conventions (see ``models/codec/conv.py`` and ``models/transformer.py``):
 
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, List, Mapping, Optional
 
 import numpy as np
@@ -26,6 +27,33 @@ from ..config import CodecConfig, SSRModelConfig
 
 Array = np.ndarray
 StateDict = Mapping[str, Array]
+
+
+class _TrackingStateDict(dict):
+    """Records which keys a converter read, so the caller can assert that no
+    reference weight was silently dropped (a renamed/resized checkpoint would
+    otherwise convert 'successfully' with garbage gaps)."""
+
+    def __init__(self, sd: StateDict):
+        super().__init__(sd)
+        self.used: set = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return dict.__getitem__(self, k)
+
+
+def _check_consumed(tracked: _TrackingStateDict, ignorable: List[str],
+                    what: str) -> None:
+    pats = [re.compile(p) for p in ignorable]
+    left = sorted(k for k in tracked
+                  if k not in tracked.used
+                  and not any(p.fullmatch(k) for p in pats))
+    if left:
+        raise ValueError(
+            f"{what}: {len(left)} state-dict keys were not consumed by the "
+            f"converter (checkpoint layout mismatch?): {left[:8]}"
+            + (" ..." if len(left) > 8 else ""))
 
 
 def _j(prefix: str, rest: str) -> str:
@@ -172,27 +200,50 @@ def convert_wm_decoder(sd: StateDict, prefix: str, cfg: CodecConfig) -> Dict[str
     return params
 
 
-def convert_wmencodec(sd: StateDict, cfg: CodecConfig) -> Dict[str, Any]:
+def convert_wmencodec(sd: StateDict, cfg: CodecConfig,
+                      strict: bool = True) -> Dict[str, Any]:
     """Full WMEncodecModel state dict -> params for
-    ``models.codec.wmencodec`` (reference wmencodec.py:142-160)."""
+    ``models.codec.wmencodec`` (reference wmencodec.py:142-160).
+
+    With ``strict`` (default) every checkpoint tensor must be consumed,
+    except known inference-irrelevant training state: the RVQ codebook EMA
+    buffers (core_vq.py ``cluster_size``/``embed_avg``/``inited``) and — only
+    at non-published geometries with fewer than 4 upsampling stages — the
+    reference's hardcoded-but-unused extra ``wm_proj{2,3}`` stacks
+    (seanet.py:513-539 always creates four)."""
     n_q = cfg.rvq.n_q
+    tracked = _TrackingStateDict(sd)
     embed = np.stack(
-        [np.asarray(sd[f"quantizer.vq.layers.{k}._codebook.embed"]) for k in range(n_q)]
+        [np.asarray(tracked[f"quantizer.vq.layers.{k}._codebook.embed"]) for k in range(n_q)]
     )
-    return dict(
-        encoder=convert_seanet_encoder(sd, "encoder", cfg),
-        decoder=convert_seanet_decoder(sd, "decoder", cfg),
-        wmdecoder=convert_wm_decoder(sd, "wmdecoder", cfg),
+    params = dict(
+        encoder=convert_seanet_encoder(tracked, "encoder", cfg),
+        decoder=convert_seanet_decoder(tracked, "decoder", cfg),
+        wmdecoder=convert_wm_decoder(tracked, "wmdecoder", cfg),
         quantizer=dict(embed=embed),
     )
+    if strict:
+        n_up = len(cfg.seanet.ratios)
+        ignorable = [
+            r"quantizer\.vq\.layers\.\d+\._codebook\.(cluster_size|embed_avg|inited)",
+        ] + [rf"wmdecoder\.wm_proj{i}\..*" for i in range(n_up, 4)]
+        _check_consumed(tracked, ignorable, "convert_wmencodec")
+    return params
 
 
 # -------------------------------------------------------------------- SSR LM
 
-def convert_ssr_lm(sd: StateDict, cfg: SSRModelConfig) -> Dict[str, Any]:
+def convert_ssr_lm(sd: StateDict, cfg: SSRModelConfig,
+                   strict: bool = True) -> Dict[str, Any]:
     """Reference SSR_Speech state dict -> params for ``models.ssr``
-    (key names per models/ssr.py:132-179 and modules/transformer.py)."""
+    (key names per models/ssr.py:132-179 and modules/transformer.py).
+
+    With ``strict`` (default) every checkpoint tensor must be consumed —
+    mask-embedding rows live inside ``audio_embedding.*`` (card includes the
+    mts sentinels) so a full bundle has no legitimate leftovers; a leftover
+    means the geometry passed in ``cfg`` does not match the file."""
     K, L = cfg.n_codebooks, cfg.num_layers
+    sd = _TrackingStateDict(sd)
 
     def t(name):  # torch Linear weight -> [In, Out]
         return np.asarray(sd[name]).T
@@ -222,7 +273,7 @@ def convert_ssr_lm(sd: StateDict, cfg: SSRModelConfig) -> Dict[str, Any]:
         final_ln_w=np.asarray(sd["decoder.norm.weight"]),
         final_ln_b=np.asarray(sd["decoder.norm.bias"]),
     )
-    return dict(
+    params = dict(
         text_emb=np.asarray(sd["text_embedding.word_embeddings.weight"]),
         audio_emb=np.stack(
             [np.asarray(sd[f"audio_embedding.{k}.word_embeddings.weight"]) for k in range(K)]
@@ -235,3 +286,6 @@ def convert_ssr_lm(sd: StateDict, cfg: SSRModelConfig) -> Dict[str, Any]:
         head2_w=np.stack([t(f"predict_layer.{k}.2.weight") for k in range(K)]),
         head2_b=np.stack([np.asarray(sd[f"predict_layer.{k}.2.bias"]) for k in range(K)]),
     )
+    if strict:
+        _check_consumed(sd, [], "convert_ssr_lm")
+    return params

@@ -77,6 +77,57 @@ def load_reference_modules():
     )
 
 
+def load_reference_tokenizer(espeak_backend_cls):
+    """Import the reference data/tokenizer.py with ``phonemizer`` (absent
+    here) and ``torchaudio`` stubbed out, injecting ``espeak_backend_cls``
+    as ``EspeakBackend`` so tests can drive the reference TextTokenizer
+    (reference data/tokenizer.py:31-83) with recorded espeak output."""
+    assert REFERENCE_ROOT.is_dir()
+    from .mock_espeak import MockSeparator
+
+    class _Punct:
+        @staticmethod
+        def default_marks():
+            return ';:,.!?¡¿—…"«»“”'
+
+    stub_names = [
+        "phonemizer", "phonemizer.backend", "phonemizer.backend.espeak",
+        "phonemizer.backend.espeak.language_switch",
+        "phonemizer.backend.espeak.words_mismatch",
+        "phonemizer.punctuation", "phonemizer.separator", "torchaudio",
+    ]
+    pre_existing = {n for n in stub_names if n in sys.modules}
+    phz = _stub("phonemizer")
+    backend = _stub("phonemizer.backend", EspeakBackend=espeak_backend_cls)
+    espeak_pkg = _stub("phonemizer.backend.espeak")
+    _stub("phonemizer.backend.espeak.language_switch", LanguageSwitch=str)
+    _stub("phonemizer.backend.espeak.words_mismatch", WordMismatch=str)
+    _stub("phonemizer.punctuation", Punctuation=_Punct)
+    _stub("phonemizer.separator", Separator=MockSeparator)
+    phz.backend = backend
+    backend.espeak = espeak_pkg
+    # reference tokenizer.py imports torchaudio at module level (only used
+    # by its audio paths, which these tests never touch)
+    ta = _stub("torchaudio")
+    if not hasattr(ta, "transforms"):
+        ta.transforms = types.SimpleNamespace(Resample=None)
+
+    name = "ref_data_tokenizer"
+    try:
+        spec = importlib.util.spec_from_file_location(
+            name, REFERENCE_ROOT / "data" / "tokenizer.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        # drop the stubs so later imports of our own modules still detect
+        # the packages as absent (the loaded module keeps its bindings)
+        for n in stub_names:
+            if n not in pre_existing:
+                sys.modules.pop(n, None)
+    return mod
+
+
 def load_reference_lm():
     """Import the reference SSR transformer modules (torch-only deps)."""
     assert REFERENCE_ROOT.is_dir()

@@ -50,6 +50,19 @@ TTS_TARGET = ("i cannot believe that the same model can also do text to "
               "speech synthesis too")
 ZH_TARGET = "食品价格以基本都在一万到两万之间"
 
+# --synth variants: the reference decode loop hard-caps the TOTAL sequence at
+# x_len*10 frames (models/ssr.py:739), and a random-init LM rarely emits eog,
+# so the synthetic captures bound wall time by cropping the prompt/edit wavs
+# and sizing the target text so cap - prefix ≈ 150-250 generated frames
+# (~1 s/frame torch-CPU at 830M). Decode-config semantics (CFG stride,
+# aug_text, splice, wmdecode) are identical to the BASELINE configs.
+SYNTH_TTS_TARGET = "the tpu rebuild speaks for itself today"
+SYNTH_TTS_SECONDS = 2.0      # prompt 100 frames; cap = |x|*10 ≈ 350
+SYNTH_EDIT_TARGET = "but when i saw the lake in the distance it was gone"
+SYNTH_EDIT_SECONDS = 3.0     # context 150 frames; cap ≈ 440
+SYNTH_ZH_TARGET = "食品价格以基本都在一万到两万之间"
+SYNTH_ZH_SECONDS = 3.0
+
 
 def _torch_codec(codec_path):
     """Build the reference SEANet/RVQ modules with the published weights."""
@@ -87,10 +100,15 @@ def _torch_codec(codec_path):
     return enc, dec, wmd, rvq, sd, cfg
 
 
-def _load_wav(path, cfg):
+def _load_wav(path, cfg, max_seconds=None):
     from ssr_speech_tpu.utils import audio as audio_io
 
-    return audio_io.load_for_codec(path, cfg.sample_rate, cfg.hop_length)
+    wav = audio_io.load_for_codec(path, cfg.sample_rate, cfg.hop_length)
+    if max_seconds is not None:
+        n = int(max_seconds * cfg.sample_rate)
+        n -= n % cfg.hop_length
+        wav = wav[:, :n, :]
+    return wav
 
 
 def capture_codec(codec_path, out_dir, report):
@@ -123,13 +141,15 @@ def capture_codec(codec_path, out_dir, report):
     return cfg
 
 
-def _phonemize(text, phn2num, language):
+def _phonemize(text, phn2num, language, allow_char_fallback=False):
     from ssr_speech_tpu.data.tokenizer import TextTokenizer, tokenize_text
 
     tok = TextTokenizer(language="cmn" if language == "zh" else "en-us")
-    if tok.backend is None:
+    if tok.backend is None and not allow_char_fallback:
         raise RuntimeError("espeak-ng required to phonemize for the text "
                            "configs; only codec goldens were captured")
+    # char fallback (--synth): both the torch reference and the JAX decode
+    # consume the SAME ids, so any deterministic text->id map proves parity
     phones = tokenize_text(tok, text)
     return np.asarray([phn2num[p] for p in phones if p in phn2num], np.int64)
 
@@ -149,18 +169,23 @@ def _torch_lm(lm_path):
 
 def capture_lm_config(name, lm_path, codec_path, wav_path, target_text,
                       mask_builder, decode_kwargs, language, out_dir, report,
-                      seed=1):
+                      seed=1, max_seconds=None, allow_char_fallback=False,
+                      max_gen_per_span=4000):
+    import time
+
     import torch
 
     from ssr_speech_tpu.models import pretrained
 
+    t0 = time.monotonic()
     model, phn2num, _ = _torch_lm(lm_path)
     tok = pretrained.load_codec(codec_path)
     cfg = tok.cfg
-    wav = _load_wav(wav_path, cfg)
+    wav = _load_wav(wav_path, cfg, max_seconds=max_seconds)
     codes, _, _ = tok.encode(wav)
     y = codes[0]
-    x = _phonemize(target_text, phn2num, language)
+    x = _phonemize(target_text, phn2num, language,
+                   allow_char_fallback=allow_char_fallback)
     mask = mask_builder(y.shape[1])
 
     torch.manual_seed(seed)
@@ -174,12 +199,14 @@ def capture_lm_config(name, lm_path, codec_path, wav_path, target_text,
             top_k=1, top_p=1.0, temperature=1.0, stop_repetition=-1,
             kvcache=1, **decode_kwargs,
         )
+    torch_s = time.monotonic() - t0
     np.savez(os.path.join(out_dir, f"{name}.npz"),
              x=x, y=y, mask=np.asarray(mask), codes=res[0].numpy(),
              marks=marks[0].numpy(),
              decode_kwargs=json.dumps(decode_kwargs), seed=seed)
 
     # parity with the JAX decode, converted weights
+    t1 = time.monotonic()
     import jax
 
     from ssr_speech_tpu.config import DecodeConfig
@@ -192,23 +219,50 @@ def capture_lm_config(name, lm_path, codec_path, wav_path, target_text,
         cfg_stride=decode_kwargs.get("cfg_stride", 1),
         aug_text=decode_kwargs.get("aug_text", False),
         cfg_pretrained=decode_kwargs.get("cfg_pretrained", True),
-        max_gen_per_span=4000, length_cap_mult=10,
+        max_gen_per_span=max_gen_per_span, length_cap_mult=10,
     )
     got, got_marks, _, _ = jdec.generate(
         params, jcfg, dcfg, x, y, mask, jax.random.PRNGKey(seed),
         dtype_name="float32")
     match = bool(np.array_equal(got[0], res[0].numpy()))
     report[name] = dict(tokens_bit_exact=match,
-                        n_tokens=int(res.shape[-1]), ok=match)
+                        n_tokens=int(res.shape[-1]), ok=match,
+                        torch_s=round(torch_s, 1),
+                        jax_s=round(time.monotonic() - t1, 1))
+    print(f"[{name}] n_tokens={res.shape[-1]} bit_exact={match} "
+          f"torch={torch_s:.0f}s jax={time.monotonic() - t1:.0f}s", flush=True)
     return res[0].numpy()
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(__doc__)
     p.add_argument("--pretrained_dir", default="./pretrained_models")
-    p.add_argument("--out", default="tests/goldens/pretrained")
+    p.add_argument("--out", default=None,
+                   help="default tests/goldens/pretrained "
+                        "(tests/goldens/pretrained_synth with --synth)")
     p.add_argument("--skip_zh", action="store_true")
+    p.add_argument("--synth", action="store_true",
+                   help="capture from synthetic full-geometry checkpoints "
+                        "(tools/make_synth_checkpoints.py): cropped wavs, "
+                        "short targets, char-fallback phonemization")
+    p.add_argument("--platform", default="cpu", choices=["cpu", "tpu", ""],
+                   help="JAX platform for the replay side; cpu (default) "
+                        "keeps fp32 matmuls bit-stable vs the fp32 torch "
+                        "reference (TPU default precision is bf16)")
     args = p.parse_args(argv)
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if os.environ.get("SSR_JAX_CACHE", "1") != "0":
+        # share compiled decode programs with the gated replay tests
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.out is None:
+        args.out = ("tests/goldens/pretrained_synth" if args.synth
+                    else "tests/goldens/pretrained")
 
     codec_path = os.path.join(args.pretrained_dir, "wmencodec.th")
     lm_en = os.path.join(args.pretrained_dir, "English.pth")
@@ -218,32 +272,50 @@ def main(argv=None):
                  "first (see module docstring)")
     os.makedirs(args.out, exist_ok=True)
     report = {}
+    if args.synth:
+        fp_path = os.path.join(args.pretrained_dir, "fingerprint.json")
+        if os.path.isfile(fp_path):  # lets the replay tests detect staleness
+            report["checkpoint_fingerprint"] = json.load(open(fp_path))
+            report["checkpoint_fingerprint"]["ok"] = True
 
     capture_codec(codec_path, args.out, report)
+
+    tts_target = SYNTH_TTS_TARGET if args.synth else TTS_TARGET
+    edit_target = SYNTH_EDIT_TARGET if args.synth else EDIT_TARGET
+    zh_target = SYNTH_ZH_TARGET if args.synth else ZH_TARGET
+    tts_secs = SYNTH_TTS_SECONDS if args.synth else None
+    edit_secs = SYNTH_EDIT_SECONDS if args.synth else None
+    zh_secs = SYNTH_ZH_SECONDS if args.synth else None
 
     if os.path.isfile(lm_en):
         # config 2: en TTS greedy no-CFG — mask is a zero-length span at end
         capture_lm_config(
-            "en_tts_greedy", lm_en, codec_path, DEMO_TTS, TTS_TARGET,
+            "en_tts_greedy", lm_en, codec_path, DEMO_TTS, tts_target,
             lambda F: [(F, F)],
             dict(cfg_coef=1.5, cfg_stride=1, aug_text=False,
                  aug_context=False, cfg_pretrained=True),
-            "en", args.out, report)
+            "en", args.out, report,
+            max_seconds=tts_secs, allow_char_fallback=args.synth,
+            max_gen_per_span=512 if args.synth else 4000)
         # config 3: en editing with CFG stride 5
         capture_lm_config(
-            "en_edit_cfg5", lm_en, codec_path, DEMO_EDIT, EDIT_TARGET,
+            "en_edit_cfg5", lm_en, codec_path, DEMO_EDIT, edit_target,
             lambda F: [(int(0.28 * F), int(0.55 * F))],
             dict(cfg_coef=1.5, cfg_stride=5, aug_text=True,
                  aug_context=False, cfg_pretrained=True),
-            "en", args.out, report)
+            "en", args.out, report,
+            max_seconds=edit_secs, allow_char_fallback=args.synth,
+            max_gen_per_span=512 if args.synth else 4000)
     if os.path.isfile(lm_zh) and not args.skip_zh:
         # config 4: zh editing, cfg_stride 1
         capture_lm_config(
-            "zh_edit_cfg1", lm_zh, codec_path, DEMO_ZH, ZH_TARGET,
+            "zh_edit_cfg1", lm_zh, codec_path, DEMO_ZH, zh_target,
             lambda F: [(int(0.3 * F), int(0.6 * F))],
             dict(cfg_coef=1.5, cfg_stride=1, aug_text=True,
                  aug_context=False, cfg_pretrained=True),
-            "zh", args.out, report)
+            "zh", args.out, report,
+            max_seconds=zh_secs, allow_char_fallback=args.synth,
+            max_gen_per_span=512 if args.synth else 4000)
 
     # config 5: watermark decode of the edit splice (uses config-3 artifacts)
     edit_npz = os.path.join(args.out, "en_edit_cfg5.npz")
