@@ -249,6 +249,42 @@ def main():
     elapsed_e = (time.perf_counter() - t0) / n_runs
     edit_rtf = (gen_edit_frames / codec_cfg.frame_rate) / elapsed_e
 
+    # ---- Mandarin editing (BASELINE.md config 4: zh, cfg_stride=1 —
+    # reference inference_v2.py:206 / edit_utils_zh.py:103): identical
+    # machinery, CFG combine every step, char-level zh text (one phone id
+    # per char; the Mandarin bundles use a cmn phone vocab of the same size)
+    zh_span = (150, 350)
+    x_zh = rng.integers(0, cfg.text_vocab_size - 1, size=(64,))  # ~64 chars
+    dec_zh = DecodeConfig(
+        aug_text=True, cfg_stride=1, cfg_coef=1.5, top_k=0, top_p=0.8,
+        temperature=1.0, stop_repetition=-1, cfg_pretrained=True,
+        max_gen_per_span=(zh_span[1] - zh_span[0]) + cfg.n_codebooks,
+        length_cap_mult=10_000,
+    )
+
+    def run_zh(seed):
+        out_codes, marks, out_intervals, nm = dec_mod.generate(
+            params, cfg, dec_zh, x_zh, y_edit, [zh_span],
+            jax.random.PRNGKey(seed), tmax=1024, dtype_name="bfloat16",
+        )
+        new_wav = np.zeros((1, out_codes.shape[2] * hop, 1), np.float32)
+        for (os_, oe), (ns, ne) in zip(nm, out_intervals):
+            os_, ns = max(os_, 0), max(ns, 0)
+            seg = wav_orig[0, os_ * hop:oe * hop]
+            new_wav[0, ns * hop:ns * hop + seg.shape[0]] = seg
+        out, _ = wm.wmdecode(codec_params, jnp.asarray(out_codes),
+                             jnp.asarray(marks), jnp.asarray(new_wav),
+                             codec_cfg)
+        return np.asarray(out), marks
+
+    out_zh, marks_zh = run_zh(0)  # warmup/compile
+    gen_zh_frames = int(np.asarray(marks_zh).sum())
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        out_zh, marks_zh = run_zh(i + 1)
+    elapsed_zh = (time.perf_counter() - t0) / n_runs
+    zh_edit_rtf = (gen_zh_frames / codec_cfg.frame_rate) / elapsed_zh
+
     # ---- aggregate serving throughput: 8 seed-batched chains in ONE
     # compiled loop over a shared prompt cache (the serving capability the
     # reference lacks — it decodes seeds sequentially, inference_v2.py:331-337)
@@ -281,6 +317,8 @@ def main():
         "vs_baseline": round(rtf / 5.0, 3),
         "edit_rtf": round(edit_rtf, 3),
         "edit_note": "4s span of 8s utt, aug_text cfg_stride=5, wmdecode splice of full utt",
+        "zh_edit_rtf": round(zh_edit_rtf, 3),
+        "zh_edit_note": "BASELINE config 4: zh chars, cfg_stride=1, same splice+wmdecode",
         "codec_mae": None if mae is None else round(mae, 8),
         "aggregate_rtf_s8": round(agg_rtf, 2),
         "aggregate_note": "8 seed-batched chains, shared prompt cache, one compiled loop",

@@ -200,6 +200,9 @@ class OptimConfig:
     scalar_max: float = 10.0
     size_update_period: int = 4
     clipping_update_period: int = 600
+    # storage dtype for the param-sized ScaledAdam buffers (delta momentum
+    # + exp_avg_sq); "bfloat16" halves optimizer HBM (training/optim.py)
+    moments_dtype: str = "float32"
     # Eden schedule
     reduce_lr_start_step: int = 3000  # lr_batches
     reduce_lr_start_epoch: int = 4  # lr_epochs

@@ -97,18 +97,25 @@ def scaled_adam(
     schedule: Callable,
     cfg: OptimConfig,
 ) -> optax.GradientTransformation:
-    """ScaledAdam as an optax transformation. ``update`` requires params."""
+    """ScaledAdam as an optax transformation. ``update`` requires params.
+
+    ``cfg.moments_dtype="bfloat16"`` stores the two param-sized state
+    buffers (``delta`` momentum and ``exp_avg_sq``) in bf16 — 3.3 GB saved
+    at 830M, admitting a larger per-chip batch — while all arithmetic stays
+    fp32 (cast on read, round on store). Default fp32 matches the torch
+    reference (optim.py ScaledAdam) bit-for-step."""
     beta1, beta2 = cfg.betas
     P = cfg.size_update_period
     CUP = cfg.clipping_update_period
+    mdt = jnp.bfloat16 if cfg.moments_dtype == "bfloat16" else None
 
     def init(params):
         def leaf(p):
             p = jnp.asarray(p)
             bshape = (1,) * p.ndim
             return _LeafState(
-                delta=jnp.zeros_like(p),
-                exp_avg_sq=jnp.zeros_like(p),
+                delta=jnp.zeros(p.shape, mdt or p.dtype),
+                exp_avg_sq=jnp.zeros(p.shape, mdt or p.dtype),
                 param_rms=(
                     jnp.sqrt(jnp.mean(p.astype(jnp.float32) ** 2, keepdims=True).reshape(bshape))
                     if not _is_scalar(p) else jnp.zeros(bshape, jnp.float32)
@@ -165,16 +172,19 @@ def scaled_adam(
         def leaf_update(g, s: _LeafState, p):
             g = g.astype(jnp.float32) * clip
             pf = p.astype(jnp.float32)
-            delta = s.delta * beta1
+            sdt = s.delta.dtype  # storage dtype (fp32 or bf16 moments)
+            delta = s.delta.astype(jnp.float32) * beta1
+            s_eas = s.exp_avg_sq.astype(jnp.float32)
             if _is_scalar(p):
                 # plain Adam with clamping (reference optim.py:636-661)
-                eas = s.exp_avg_sq * beta2 + (1 - beta2) * g * g
+                eas = s_eas * beta2 + (1 - beta2) * g * g
                 bc2 = 1 - beta2 ** (step.astype(jnp.float32) + 1)
                 denom = jnp.sqrt(eas / bc2) + cfg.eps
                 delta = delta - size_lr * (1 - beta1) * g / denom
                 new_p = jnp.clip(pf, -cfg.scalar_max, cfg.scalar_max) + delta
                 return _LeafOut((new_p - pf).astype(p.dtype),
-                                _LeafState(delta, eas, s.param_rms,
+                                _LeafState(delta.astype(sdt),
+                                           eas.astype(sdt), s.param_rms,
                                            s.scale_grads, s.scale_exp_avg_sq))
 
             # ---- learned-size update every P steps (optim.py:504-597) ----
@@ -204,14 +214,15 @@ def scaled_adam(
             delta = delta + jnp.where(do_size, (1 - beta1) * pf * scale_step, 0.0)
 
             # ---- main RMS-scaled Adam step (optim.py:602-634) ----
-            eas = s.exp_avg_sq * beta2 + (1 - beta2) * g * g
+            eas = s_eas * beta2 + (1 - beta2) * g * g
             bc2 = 1 - beta2 ** (step.astype(jnp.float32) + 1)
             eas_used = jnp.where(bc2 < 0.99, eas / jnp.maximum(bc2, 1e-8), eas)
             denom = jnp.sqrt(eas_used) + cfg.eps
             alpha = -lr * (1 - beta1) * jnp.maximum(param_rms, cfg.param_min_rms)
             delta = delta + (g / denom) * alpha
             return _LeafOut(delta.astype(p.dtype),
-                            _LeafState(delta, eas, param_rms, scale_grads, sesq))
+                            _LeafState(delta.astype(sdt), eas.astype(sdt),
+                                       param_rms, scale_grads, sesq))
 
         out = jax.tree.map(
             leaf_update, grads, state.leaves, params,

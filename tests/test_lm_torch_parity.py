@@ -163,6 +163,68 @@ def test_greedy_token_stream_parity(ref_and_params, aug_text, cfg_stride, mask):
     np.testing.assert_array_equal(marks_j[0], marks[0].numpy())
 
 
+def test_zh_edit_path_token_stream_parity(ref_and_params):
+    """BASELINE config 4 machinery end-to-end: char-level Mandarin spans
+    (parse_edit_zh, reference edit_utils_zh.py:103-118) -> frame mask
+    intervals -> greedy decode with aug_text + cfg_stride=1 (reference
+    inference_v2.py:206), token stream bit-exact vs torch."""
+    import torch
+
+    from ssr_speech_tpu.inference import edit as edit_mod
+    from ssr_speech_tpu.inference import pipeline
+
+    _, model, params = ref_and_params
+    orig = "今天天气很好我们去公园散步"
+    target = "今天天气真好我们去海边走走"
+    spans = edit_mod.parse_edit_zh(orig, target)
+    assert spans == [(4, 5), (9, 13)]  # substitution + tail rewrite, merged
+
+    # cmn-style phoneme vocab: one id per char (the Mandarin bundles map
+    # chars through phn2num the same way)
+    vocab = {c: i for i, c in enumerate(sorted(set(orig + target)))}
+    assert len(vocab) < CFG.text_vocab_size
+    x = np.asarray([vocab[c] for c in target], np.int64)
+
+    # synthetic per-char forced alignment, 0.2 s per char
+    words = [(c, i * 0.2, (i + 1) * 0.2) for i, c in enumerate(orig)]
+    dur = len(orig) * 0.2
+    mask = pipeline.spans_to_mask_intervals(words, spans, dur, codec_sr=50)
+    T = int(dur * 50)
+    assert mask[-1][1] == T  # second span reaches the utterance end
+
+    rng = np.random.default_rng(21)
+    y = rng.integers(0, TS.audio_vocab_size, size=(CFG.n_codebooks, T))
+
+    with torch.no_grad():
+        res, marks, masks, nmi = model.inference(
+            torch.from_numpy(x[None]).long(),
+            torch.tensor([len(x)]),
+            torch.zeros(1, 0).long(),
+            torch.tensor([0]),
+            torch.from_numpy(y.T[None]).long(),
+            torch.from_numpy(y.T[None]).long(),
+            mask_interval=torch.tensor(mask).unsqueeze(0),
+            top_k=1, top_p=1.0, temperature=1.0,
+            stop_repetition=-1, kvcache=1,
+            cfg_coef=1.5, cfg_stride=1,
+            aug_text=True, aug_context=False, cfg_pretrained=True,
+        )
+
+    dec = DecodeConfig(
+        top_k=1, top_p=1.0, temperature=1.0, stop_repetition=-1,
+        cfg_coef=1.5, cfg_stride=1, aug_text=True,
+        cfg_pretrained=True, max_gen_per_span=400, length_cap_mult=10,
+    )
+    import jax
+
+    codes, marks_j, out_iv, nm = decode.generate(
+        params, CFG, dec, x, y, mask, jax.random.PRNGKey(0),
+        dtype_name="float32",
+    )
+    np.testing.assert_array_equal(codes[0], res[0].numpy())
+    np.testing.assert_array_equal(marks_j[0], marks[0].numpy())
+
+
 @pytest.mark.parametrize("aug_text", [False, True])
 def test_aug_context_token_stream_parity(ref_and_params, aug_text):
     """aug_context: prompt audio+text prepended when the masked content is

@@ -124,6 +124,40 @@ def test_scaled_adam_matches_reference():
         )
 
 
+def test_scaled_adam_bf16_moments_tracks_fp32():
+    """moments_dtype="bfloat16" (half-size delta/exp_avg_sq buffers) stays
+    within bf16 rounding of the fp32 trajectory over many steps — the
+    memory/throughput knob must not change optimization behavior."""
+    rng = np.random.default_rng(3)
+    p0 = {"w": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)),
+          "b": jnp.asarray(rng.normal(size=(8,)).astype(np.float32) * 0.1),
+          "alpha": jnp.asarray(np.asarray([0.7], np.float32))}
+    sched = lambda step: 0.03
+
+    def run(moments_dtype):
+        cfg = OptimConfig(optimizer_name="scaledadam", lr=0.03,
+                          clipping_scale=2.0, moments_dtype=moments_dtype)
+        opt = optimlib.scaled_adam(sched, cfg)
+        params, state = dict(p0), opt.init(p0)
+        g_rng = np.random.default_rng(7)
+        for _ in range(25):
+            grads = jax.tree.map(
+                lambda p: jnp.asarray(
+                    g_rng.normal(size=p.shape).astype(np.float32) * 0.1), params)
+            updates, state = opt.update(grads, state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, state
+
+    p_f32, s_f32 = run("float32")
+    p_bf16, s_bf16 = run("bfloat16")
+    leaves = jax.tree.leaves(s_bf16.leaves)
+    assert any(l.dtype == jnp.bfloat16 for l in leaves)
+    for k in p0:
+        d = np.abs(np.asarray(p_bf16[k]) - np.asarray(p_f32[k]))
+        scale = np.abs(np.asarray(p_f32[k]) - np.asarray(p0[k])).mean() + 1e-8
+        assert d.max() / scale < 0.15, (k, d.max(), scale)
+
+
 def test_eden_schedule_matches_reference():
     if not os.path.isdir("/root/reference"):
         pytest.skip("no reference")

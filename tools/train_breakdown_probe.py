@@ -68,8 +68,10 @@ def main(phase, remat):
     cfg = SSRModelConfig(d_model=2048, nhead=16, num_layers=16, n_codebooks=4,
                          text_vocab_size=120, attn_impl="flash", remat=remat)
     tcfg = TrainConfig(precision="bfloat16",
-                       optim=OptimConfig(optimizer_name="scaledadam",
-                                         clipping_scale=2.0))
+                       optim=OptimConfig(
+                           optimizer_name="scaledadam", clipping_scale=2.0,
+                           moments_dtype=os.environ.get("PROBE_MOMENTS",
+                                                        "float32")))
     params = ssr_model.init_ssr(jax.random.PRNGKey(0), cfg)
     n_params = ssr_model.param_count(params)
     opt, _ = optimlib.build_optimizer(tcfg.optim)
@@ -93,6 +95,20 @@ def main(phase, remat):
     elif phase == "grad":
         t = bench(jax.jit(jax.grad(loss_fn)), params, batch, key)
         log(f"[{remat}] fwd+bwd      {t*1000:7.1f} ms")
+    elif phase == "gradd":
+        # donated params -> grads: mirrors the production step's memory
+        # behavior (the bare no-donation grad reads ~2x slower from HBM
+        # pressure and is NOT representative)
+        g = jax.jit(jax.grad(loss_fn), donate_argnums=0)
+        p = jax.tree.map(jnp.asarray, params)
+        out = g(p, batch, key)
+        _sync(out)
+        t0 = time.time()
+        for _ in range(N):
+            out = g(out, batch, key)  # grads stand in for params: same pytree
+        _sync(out)
+        t = (time.time() - t0) / N
+        log(f"[{remat}] fwd+bwd(don) {t*1000:7.1f} ms")
     elif phase == "optim":
         # synthetic grads stand in for the real ones (same shapes/dtypes)
         grads = jax.jit(lambda p: jax.tree.map(
@@ -101,9 +117,18 @@ def main(phase, remat):
             [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(gs)])))
         t_fin = bench(finite, grads)
         log(f"[{remat}] finite-check {t_fin*1000:7.1f} ms")
+        # donate grads+state like the production step (without donation the
+        # extra fp32 copies exceed the 16 GB chip); params stay resident
         opt_state = opt.init(params)
-        t = bench(jax.jit(lambda g, s, p: opt.update(g, s, p)),
-                  grads, opt_state, params)
+        upd = jax.jit(lambda g, s: opt.update(g, s, params),
+                      donate_argnums=(0, 1))
+        updates, state = upd(grads, opt_state)
+        _sync(updates)
+        t0 = time.time()
+        for _ in range(N):
+            updates, state = upd(updates, state)  # updates stand in as grads
+        _sync(updates)
+        t = (time.time() - t0) / N
         log(f"[{remat}] optim update {t*1000:7.1f} ms")
     elif phase == "step":
         opt_state = opt.init(params)
