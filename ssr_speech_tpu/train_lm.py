@@ -55,6 +55,12 @@ def build_parser():
     p.add_argument("--reduce_lr_start_epoch", type=int, default=4)
     p.add_argument("--pseudo_epoch_size", type=int, default=3000)
     p.add_argument("--clipping_update_period", type=int, default=600)
+    p.add_argument("--optim_moments_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 halves the param-sized ScaledAdam buffers "
+                        "(3.3 GB at 830M): admits B=8/chip, 35.7%% MFU "
+                        "(BENCHMARKS.md); fp32 matches the torch reference "
+                        "step-for-step")
     # data
     p.add_argument("--max_num_tokens", type=int, default=20000)
     p.add_argument("--num_buckets", type=int, default=6)
@@ -197,6 +203,7 @@ def main(argv=None):
             reduce_lr_start_epoch=args.reduce_lr_start_epoch,
             pseudo_epoch_size=args.pseudo_epoch_size,
             clipping_update_period=args.clipping_update_period,
+            moments_dtype=args.optim_moments_dtype,
         ),
         masking=MaskingConfig(
             mask_sample_dist=args.mask_sample_dist,

@@ -41,7 +41,9 @@ from ssr_speech_tpu.models import ssr as ssr_model
 from ssr_speech_tpu.training import optim as optimlib
 from ssr_speech_tpu.training.trainer import make_train_step
 
-B, sx, sy = int(os.environ.get("PROBE_B", 4)), 192, 1024
+B = int(os.environ.get("PROBE_B", 4))
+sx = int(os.environ.get("PROBE_SX", 192))
+sy = int(os.environ.get("PROBE_SY", 1024))
 N = 10
 
 
@@ -66,7 +68,9 @@ def bench(fn, *args, n=N):
 def main(phase, remat):
     rng = np.random.default_rng(0)
     cfg = SSRModelConfig(d_model=2048, nhead=16, num_layers=16, n_codebooks=4,
-                         text_vocab_size=120, attn_impl="flash", remat=remat)
+                         text_vocab_size=120,
+                         attn_impl=os.environ.get("PROBE_ATTN", "flash"),
+                         remat=remat)
     tcfg = TrainConfig(precision="bfloat16",
                        optim=OptimConfig(
                            optimizer_name="scaledadam", clipping_scale=2.0,
@@ -83,9 +87,11 @@ def main(phase, remat):
         y_lens=np.full(B, sy, np.int32)))
     key = jax.random.PRNGKey(1)
 
+    deterministic = os.environ.get("PROBE_DET", "0") == "1"
+
     def loss_fn(params, batch, rng):
         out = ssr_model.ssr_forward(
-            params, cfg, batch, deterministic=False, rng=rng,
+            params, cfg, batch, deterministic=deterministic, rng=rng,
             compute_dtype=jnp.bfloat16, unroll=True, remat=remat)
         return out["loss"]
 
