@@ -85,7 +85,9 @@ def main(phase, remat):
         x_lens=np.full(B, sx, np.int32),
         y=rng.integers(0, ts.audio_vocab_size, size=(B, sy, 4)).astype(np.int32),
         y_lens=np.full(B, sy, np.int32)))
-    key = jax.random.PRNGKey(1)
+    # PROBE_RNG=rbg: hardware-friendly PRNG for the dropout masks (threefry
+    # mask generation measured at 24% of the fwd at 830M)
+    key = jax.random.key(1, impl=os.environ.get("PROBE_RNG", "threefry2x32"))
 
     deterministic = os.environ.get("PROBE_DET", "0") == "1"
 
@@ -143,7 +145,7 @@ def main(phase, remat):
         float(m["loss"])
         t0 = time.time()
         for i in range(N):
-            p2, s2, m = step(p2, s2, batch, jax.random.PRNGKey(i))
+            p2, s2, m = step(p2, s2, batch, jax.random.fold_in(key, i))
         float(m["loss"])
         t = (time.time() - t0) / N
         S = sx + sy
