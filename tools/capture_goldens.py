@@ -154,6 +154,13 @@ def _phonemize(text, phn2num, language, allow_char_fallback=False):
     return np.asarray([phn2num[p] for p in phones if p in phn2num], np.int64)
 
 
+def _write_report(out_dir, report):
+    """Incremental (crash-safe) report writes: each stage costs minutes to
+    hours on this host, so a late failure must not lose earlier results."""
+    with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
 def _torch_lm(lm_path):
     import torch
 
@@ -170,40 +177,50 @@ def _torch_lm(lm_path):
 def capture_lm_config(name, lm_path, codec_path, wav_path, target_text,
                       mask_builder, decode_kwargs, language, out_dir, report,
                       seed=1, max_seconds=None, allow_char_fallback=False,
-                      max_gen_per_span=4000):
+                      max_gen_per_span=4000, resume=False):
     import time
-
-    import torch
 
     from ssr_speech_tpu.models import pretrained
 
     t0 = time.monotonic()
-    model, phn2num, _ = _torch_lm(lm_path)
-    tok = pretrained.load_codec(codec_path)
-    cfg = tok.cfg
-    wav = _load_wav(wav_path, cfg, max_seconds=max_seconds)
-    codes, _, _ = tok.encode(wav)
-    y = codes[0]
-    x = _phonemize(target_text, phn2num, language,
-                   allow_char_fallback=allow_char_fallback)
-    mask = mask_builder(y.shape[1])
+    npz_path = os.path.join(out_dir, f"{name}.npz")
+    if resume and os.path.isfile(npz_path):
+        # torch side already captured (each 830M torch decode costs minutes
+        # on this 1-core host) — replay-verify only
+        z = np.load(npz_path)
+        x, y, mask = z["x"], z["y"], [tuple(m) for m in np.asarray(z["mask"])]
+        res_codes, res_marks = z["codes"], z["marks"]
+        seed = int(z["seed"])
+        assert json.loads(str(z["decode_kwargs"])) == decode_kwargs, name
+    else:
+        import torch
 
-    torch.manual_seed(seed)
-    with torch.no_grad():
-        res, marks, masks, nmi = model.inference(
-            torch.from_numpy(x[None]).long(), torch.tensor([len(x)]),
-            torch.zeros(1, 0).long(), torch.tensor([0]),
-            torch.from_numpy(y.T[None].astype(np.int64)),
-            torch.from_numpy(y.T[None].astype(np.int64)),
-            mask_interval=torch.tensor(mask).unsqueeze(0),
-            top_k=1, top_p=1.0, temperature=1.0, stop_repetition=-1,
-            kvcache=1, **decode_kwargs,
-        )
+        model, phn2num, _ = _torch_lm(lm_path)
+        tok = pretrained.load_codec(codec_path)
+        cfg = tok.cfg
+        wav = _load_wav(wav_path, cfg, max_seconds=max_seconds)
+        codes, _, _ = tok.encode(wav)
+        y = codes[0]
+        x = _phonemize(target_text, phn2num, language,
+                       allow_char_fallback=allow_char_fallback)
+        mask = mask_builder(y.shape[1])
+
+        torch.manual_seed(seed)
+        with torch.no_grad():
+            res, marks, masks, nmi = model.inference(
+                torch.from_numpy(x[None]).long(), torch.tensor([len(x)]),
+                torch.zeros(1, 0).long(), torch.tensor([0]),
+                torch.from_numpy(y.T[None].astype(np.int64)),
+                torch.from_numpy(y.T[None].astype(np.int64)),
+                mask_interval=torch.tensor(mask).unsqueeze(0),
+                top_k=1, top_p=1.0, temperature=1.0, stop_repetition=-1,
+                kvcache=1, **decode_kwargs,
+            )
+        res_codes, res_marks = res[0].numpy(), marks[0].numpy()
+        np.savez(npz_path, x=x, y=y, mask=np.asarray(mask), codes=res_codes,
+                 marks=res_marks,
+                 decode_kwargs=json.dumps(decode_kwargs), seed=seed)
     torch_s = time.monotonic() - t0
-    np.savez(os.path.join(out_dir, f"{name}.npz"),
-             x=x, y=y, mask=np.asarray(mask), codes=res[0].numpy(),
-             marks=marks[0].numpy(),
-             decode_kwargs=json.dumps(decode_kwargs), seed=seed)
 
     # parity with the JAX decode, converted weights
     t1 = time.monotonic()
@@ -224,14 +241,15 @@ def capture_lm_config(name, lm_path, codec_path, wav_path, target_text,
     got, got_marks, _, _ = jdec.generate(
         params, jcfg, dcfg, x, y, mask, jax.random.PRNGKey(seed),
         dtype_name="float32")
-    match = bool(np.array_equal(got[0], res[0].numpy()))
+    match = bool(np.array_equal(got[0], res_codes)
+                 and np.array_equal(got_marks[0], res_marks))
     report[name] = dict(tokens_bit_exact=match,
-                        n_tokens=int(res.shape[-1]), ok=match,
+                        n_tokens=int(res_codes.shape[-1]), ok=match,
                         torch_s=round(torch_s, 1),
                         jax_s=round(time.monotonic() - t1, 1))
-    print(f"[{name}] n_tokens={res.shape[-1]} bit_exact={match} "
+    print(f"[{name}] n_tokens={res_codes.shape[-1]} bit_exact={match} "
           f"torch={torch_s:.0f}s jax={time.monotonic() - t1:.0f}s", flush=True)
-    return res[0].numpy()
+    return res_codes
 
 
 def main(argv=None):
@@ -249,6 +267,9 @@ def main(argv=None):
                    help="JAX platform for the replay side; cpu (default) "
                         "keeps fp32 matmuls bit-stable vs the fp32 torch "
                         "reference (TPU default precision is bf16)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip the torch decode of configs whose .npz already "
+                        "exists (the JAX replay+report always re-runs)")
     args = p.parse_args(argv)
     import jax
 
@@ -296,7 +317,9 @@ def main(argv=None):
                  aug_context=False, cfg_pretrained=True),
             "en", args.out, report,
             max_seconds=tts_secs, allow_char_fallback=args.synth,
-            max_gen_per_span=512 if args.synth else 4000)
+            max_gen_per_span=512 if args.synth else 4000,
+            resume=args.resume)
+        _write_report(args.out, report)
         # config 3: en editing with CFG stride 5
         capture_lm_config(
             "en_edit_cfg5", lm_en, codec_path, DEMO_EDIT, edit_target,
@@ -305,7 +328,9 @@ def main(argv=None):
                  aug_context=False, cfg_pretrained=True),
             "en", args.out, report,
             max_seconds=edit_secs, allow_char_fallback=args.synth,
-            max_gen_per_span=512 if args.synth else 4000)
+            max_gen_per_span=512 if args.synth else 4000,
+            resume=args.resume)
+        _write_report(args.out, report)
     if os.path.isfile(lm_zh) and not args.skip_zh:
         # config 4: zh editing, cfg_stride 1
         capture_lm_config(
@@ -315,7 +340,9 @@ def main(argv=None):
                  aug_context=False, cfg_pretrained=True),
             "zh", args.out, report,
             max_seconds=zh_secs, allow_char_fallback=args.synth,
-            max_gen_per_span=512 if args.synth else 4000)
+            max_gen_per_span=512 if args.synth else 4000,
+            resume=args.resume)
+        _write_report(args.out, report)
 
     # config 5: watermark decode of the edit splice (uses config-3 artifacts)
     edit_npz = os.path.join(args.out, "en_edit_cfg5.npz")
@@ -324,18 +351,25 @@ def main(argv=None):
 
         enc, dec, wmd, rvq, sd, cfg = _torch_codec(codec_path)
         z = np.load(edit_npz)
-        codes = torch.from_numpy(z["codes"][None].astype(np.int64))
+        raw_codes = z["codes"]
+        if args.synth:
+            # a random-init LM legitimately emits empty_token/pad (>=bins)
+            # mid-stream; the RVQ embedding only spans [0, bins) — clamp for
+            # the codec stage (a no-op with trained weights, whose streams
+            # carry codec tokens only)
+            raw_codes = np.minimum(raw_codes, cfg.rvq.bins - 1)
+        codes = torch.from_numpy(raw_codes[None].astype(np.int64))
         marks = torch.from_numpy(z["marks"][None].astype(np.int64))
         wav = np.zeros((1, 1, codes.shape[-1] * cfg.hop_length), np.float32)
         with torch.no_grad():
             audio = wmd(rvq.decode(codes), marks, torch.from_numpy(wav))[0].numpy()
         np.savez(os.path.join(args.out, "wm_decode.npz"),
-                 codes=z["codes"], marks=z["marks"], audio=audio)
+                 codes=raw_codes, marks=z["marks"], audio=audio)
         from ssr_speech_tpu.models import pretrained
         from ssr_speech_tpu.models.codec import wmencodec as jwm
 
         tok = pretrained.load_codec(codec_path)
-        got = np.asarray(tok.wmdecode(z["codes"][None], z["marks"][None],
+        got = np.asarray(tok.wmdecode(raw_codes[None], z["marks"][None],
                                       wav.transpose(0, 2, 1)))
         mae = float(np.mean(np.abs(got.transpose(0, 2, 1) - audio)))
         report["wm_decode"] = dict(mae=mae, ok=mae < 1e-3)
