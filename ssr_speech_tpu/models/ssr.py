@@ -151,15 +151,21 @@ def ssr_loss_from_hidden(
     predict_mask_token: bool = True,
     predict_all: bool = False,
     codebook_weight: Optional[Tuple[float, ...]] = None,
+    head_dtype=jnp.float32,
 ) -> Dict[str, jnp.ndarray]:
     """Head + masked-span CE from the transformer output over the audio
     positions (y_out [B, Sy, D]). Loss weighting matches reference
-    ``models/ssr.py:354-371``: sum_k mean-CE_k * ntokens_k * weight_k."""
+    ``models/ssr.py:354-371``: sum_k mean-CE_k * ntokens_k * weight_k.
+
+    ``head_dtype`` sets the head-matmul precision only (training passes the
+    bf16 compute dtype: fp32 matmuls run the MXU at a quarter rate); the
+    softmax/CE itself always reduces in fp32. Decode paths keep fp32 heads
+    for bit-exactness against the reference."""
     y, y_lens = batch["y"], batch["y_lens"]
     sy = y.shape[1]
     K = cfg.n_codebooks
     ts = cfg.tokens
-    logits = predict_logits(params, y_out)  # [B, Sy, K, card]
+    logits = predict_logits(params, y_out, dtype=head_dtype)  # [B, Sy, K, card]
 
     # next-token objective: predict y[t+1] from position t
     logits = logits[:, :-1]  # [B, Sy-1, K, C]
@@ -180,8 +186,8 @@ def ssr_loss_from_hidden(
 
     logf = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logf, axis=-1)
-    tgt_logp = jnp.take_along_axis(logf, targets[..., None], axis=-1)[..., 0] - logz
-    nll = -tgt_logp  # [B, S-1, K]
+    tgt_logit = jnp.take_along_axis(logf, targets[..., None], axis=-1)[..., 0]
+    nll = logz - tgt_logit  # [B, S-1, K]
 
     sel = tmp_masks.astype(jnp.float32)
     ce_sum = jnp.sum(nll * sel, axis=(0, 1))  # [K]
@@ -195,9 +201,13 @@ def ssr_loss_from_hidden(
         cw = jnp.asarray(codebook_weight, jnp.float32)
     loss = jnp.sum(ce_mean * ntokens * cw)
 
-    # top-10 accuracy per codebook (reference models/ssr.py:181-189,361)
-    top10 = jax.lax.top_k(logf, 10)[1]  # [B,S-1,K,10]
-    hit = jnp.any(top10 == targets[..., None], axis=-1).astype(jnp.float32)
+    # top-10 accuracy per codebook (reference models/ssr.py:181-189,361).
+    # Rank-by-counting instead of lax.top_k: "target is in the top 10" iff
+    # fewer than 10 logits strictly exceed it — one fused compare+reduce over
+    # the vocab axis instead of a [*, 2056] sort (ties at the exact target
+    # logit, measure-zero for continuous logits, count as hits).
+    rank = jnp.sum((logf > tgt_logit[..., None]).astype(jnp.float32), axis=-1)
+    hit = (rank < 10.0).astype(jnp.float32)
     acc_k = jnp.sum(hit * sel, axis=(0, 1)) / sel_cnt
 
     return dict(
@@ -256,6 +266,7 @@ def ssr_forward(
         predict_mask_token=predict_mask_token,
         predict_all=predict_all,
         codebook_weight=codebook_weight,
+        head_dtype=compute_dtype,
     )
 
 

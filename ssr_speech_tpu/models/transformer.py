@@ -83,6 +83,12 @@ def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-5
 
 
 def _dropout(x, rate, key, deterministic):
+    """Inverted dropout via ``jax.random.bernoulli``. An 8-bit-mask variant
+    (one random byte per element instead of a full f32 uniform) looked like a
+    win on the isolated forward probe but made the FULL 830M train step ~5%
+    SLOWER (703 -> 741 ms interleaved min-of-groups A/B) — uint8 compares
+    defeat fusion XLA finds for the f32 path under remat; see
+    docs/DESIGN.md "8-bit dropout masks"."""
     if deterministic or rate == 0.0:
         return x
     keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)

@@ -314,7 +314,8 @@ def make_pp_train_step(
             res = ssr_model.ssr_loss_from_hidden(
                 params, cfg, o[:, sx:], b,
                 predict_mask_token=tcfg.masking.predict_mask_token,
-                predict_all=tcfg.masking.predict_all, codebook_weight=cw)
+                predict_all=tcfg.masking.predict_all, codebook_weight=cw,
+                head_dtype=compute_dtype)
             l = res["loss"]
             if normalize:
                 l = l / jnp.maximum(res["effective_ntoken"], 1.0)
