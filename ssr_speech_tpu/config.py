@@ -236,6 +236,15 @@ class TrainConfig:
     keep_step_checkpoints: int = 0
     dp_axis: str = "dp"
     num_devices: Optional[int] = None  # default: all visible
+    # PRNG implementation for the per-step dropout keys ("threefry2x32" or
+    # "rbg"). rbg maps to the TPU's hardware RngBitGenerator and removes
+    # the threefry mask-generation tax from the train step (660 -> 605 ms,
+    # 37.9 -> 41.3% MFU at 830M/B=8 — BENCHMARKS.md); threefry remains the
+    # default because its counter-based streams are bit-identical across
+    # shardings/layouts (rbg draws are layout-dependent, fine for dropout).
+    # Param INIT always uses threefry so initial weights never depend on
+    # this knob. train_lm defaults it to rbg on TPU backends.
+    rng_impl: str = "threefry2x32"
     optim: OptimConfig = field(default_factory=OptimConfig)
     masking: MaskingConfig = field(default_factory=MaskingConfig)
     data: DataConfig = field(default_factory=DataConfig)

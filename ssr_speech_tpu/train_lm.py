@@ -125,6 +125,12 @@ def build_parser():
                    choices=["full", "dots", "mixed", "none"],
                    help="layer rematerialization policy (docs/DESIGN.md); "
                         "default: dots with flash attention, else full")
+    p.add_argument("--rng_impl", default=None,
+                   choices=["threefry2x32", "rbg"],
+                   help="dropout PRNG: rbg = TPU hardware RngBitGenerator "
+                        "(660 -> 605 ms/step, 37.9 -> 41.3%% MFU at 830M; "
+                        "draws are layout-dependent), threefry = bit-stable "
+                        "across shardings; default: rbg on TPU")
     p.add_argument("--load_model_from", default=None)
     p.add_argument("--benchmark_no_load", action="store_true",
                    help="repeat one batch to benchmark the step loop")
@@ -162,6 +168,10 @@ def main(argv=None):
                      and (args.d_model // args.nhead) % 128 == 0
                      else "einsum")
     remat = args.remat or ("dots" if attn_impl == "flash" else "full")
+    rng_impl = args.rng_impl
+    if rng_impl is None:
+        rng_impl = ("rbg" if jax.default_backend() in ("tpu", "axon")
+                    else "threefry2x32")
 
     cfg = SSRModelConfig(
         d_model=args.d_model, nhead=args.nhead,
@@ -182,7 +192,7 @@ def main(argv=None):
     cw = tuple(float(v) for v in args.codebook_weight.split(",")) \
         if args.codebook_weight else None
     tcfg = TrainConfig(
-        seed=args.seed, precision=args.precision,
+        seed=args.seed, precision=args.precision, rng_impl=rng_impl,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         num_epochs=args.num_epochs, num_steps=args.num_steps,
         val_every_n_steps=args.val_every_n_steps,

@@ -219,6 +219,11 @@ class Trainer:
 
         key = jax.random.PRNGKey(tcfg.seed)
         self.rng, init_key = jax.random.split(key)
+        # init always draws from threefry (weights independent of rng_impl);
+        # only the per-step dropout stream switches implementation (rbg =
+        # TPU hardware RNG, 660 -> 605 ms/step at 830M/B=8 — BENCHMARKS.md)
+        if tcfg.rng_impl != "threefry2x32":
+            self.rng = jax.random.key(tcfg.seed, impl=tcfg.rng_impl)
         self.params = ssr_model.init_ssr(init_key, cfg)
         total = tcfg.num_steps or 100000
         self.optimizer, self.schedule = optimlib.build_optimizer(tcfg.optim, total)

@@ -32,6 +32,32 @@ def synth_batch(rng, B=4, sx=10, sy=32):
     )
 
 
+def test_train_step_rbg_rng():
+    """The train step accepts an rbg (hardware RngBitGenerator) dropout key
+    — the TPU production default (`train_lm --rng_impl`, 660 -> 605 ms/step
+    at 830M/B=8, BENCHMARKS.md) — and still reduces loss; the Trainer keeps
+    param init on threefry so weights never depend on the knob."""
+    tcfg = TrainConfig(
+        optim=OptimConfig(optimizer_name="scaledadam", lr=0.03,
+                          clipping_scale=None, warmup_batches=2,
+                          pseudo_epoch_size=1000),
+        precision="float32", rng_impl="rbg",
+        masking=MaskingConfig(predict_mask_token=True, predict_all=True),
+    )
+    params = ssr_model.init_ssr(jax.random.PRNGKey(0), CFG)
+    optimizer, _ = optimlib.build_optimizer(tcfg.optim, total_steps=100)
+    opt_state = optimizer.init(params)
+    step = make_train_step(CFG, tcfg, optimizer)
+    key = jax.random.key(1, impl="rbg")
+    losses = []
+    batch = synth_batch(np.random.default_rng(0))
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, sub)
+        losses.append(float(m["loss"]) / float(m["ntokens"]))
+    assert np.isfinite(losses[-1]) and losses[-1] < losses[0]
+
+
 @pytest.mark.parametrize("name", ["scaledadam", "adamw"])
 def test_train_step_reduces_loss(name):
     tcfg = TrainConfig(

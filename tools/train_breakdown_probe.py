@@ -152,6 +152,35 @@ def main(phase, remat):
         flops = 6 * n_params * B * S + 12 * B * S * S * 2048
         log(f"[{remat}] FULL STEP    {t*1000:7.1f} ms  "
             f"({B*sy/t:.0f} codec tok/s, MFU {flops/t/197e12*100:.1f}%)")
+    elif phase == "ab_rng":
+        # threefry vs rbg dropout keys through the FULL production step,
+        # interleaved min-of-groups in ONE process (isolated probes mis-rank
+        # elementwise levers — see docs/DESIGN.md "8-bit dropout masks").
+        # The jitted step specializes on the key dtype, so the two variants
+        # are two executables threading the SAME donated params/opt-state.
+        opt_state = opt.init(params)
+        step = make_train_step(cfg, tcfg, opt)
+        keys = {"threefry2x32": jax.random.key(1, impl="threefry2x32"),
+                "rbg": jax.random.key(1, impl="rbg")}
+        p2, s2 = params, opt_state
+        for name, k in keys.items():
+            p2, s2, m = step(p2, s2, batch, k)  # compile both variants
+            float(m["loss"])
+        groups, per = 4, 5
+        best = {name: float("inf") for name in keys}
+        for g in range(groups):
+            for name, k in keys.items():
+                t0 = time.time()
+                for i in range(per):
+                    p2, s2, m = step(p2, s2, batch,
+                                     jax.random.fold_in(k, g * per + i))
+                float(m["loss"])
+                best[name] = min(best[name], (time.time() - t0) / per)
+        S = sx + sy
+        flops = 6 * n_params * B * S + 12 * B * S * S * 2048
+        for name, t in best.items():
+            log(f"[{remat}] STEP rng={name:13s} {t*1000:7.1f} ms  "
+                f"({B*sy/t:.0f} codec tok/s, MFU {flops/t/197e12*100:.1f}%)")
     else:
         raise SystemExit(f"unknown phase {phase}")
 
