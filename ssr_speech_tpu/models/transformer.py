@@ -26,6 +26,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from ..config import SSRModelConfig
 
@@ -91,7 +92,11 @@ def _dropout(x, rate, key, deterministic):
     docs/DESIGN.md "8-bit dropout masks"."""
     if deterministic or rate == 0.0:
         return x
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    # the checkpoint_name lets the "dots_masks" remat policy save the bool
+    # mask (1 byte/elem) so the backward neither regenerates the RNG nor
+    # recomputes the bernoulli compare (see transformer_forward remat modes)
+    keep = _checkpoint_name(
+        jax.random.bernoulli(key, 1.0 - rate, x.shape), "drop_mask")
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
@@ -138,7 +143,7 @@ def transformer_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     dtype=jnp.float32,
-    remat="full",  # "full" | "dots" | "mixed" | "none" (bools: True/False)
+    remat="full",  # "full"|"dots"|"dots_masks"|"mixed"|"none" (bools ok)
     act_sharding=None,
     unroll: bool = False,
     key_valid: Optional[jnp.ndarray] = None,
@@ -233,6 +238,15 @@ def transformer_forward(
         # and "none" (compiler OOM); under the scan it degrades to "dots".
         scan_body = jax.checkpoint(
             body, policy=jax.checkpoint_policies.dots_saveable)
+    elif mode == "dots_masks":
+        # dots + the tagged bool dropout masks (~1 GB at 830M/B=8): the
+        # backward then skips both RNG regeneration and the bernoulli
+        # compare — judged by full-step interleaved A/B only (isolated
+        # forward probes mis-rank elementwise levers, docs/DESIGN.md)
+        scan_body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_saveable,
+                jax.checkpoint_policies.save_only_these_names("drop_mask")))
     elif mode == "none":
         scan_body = body
     else:

@@ -122,9 +122,9 @@ def build_parser():
                         "(1.25x step, enables relaxed remat) or einsum; "
                         "default: flash on TPU when head_dim %% 128 == 0")
     p.add_argument("--remat", default=None,
-                   choices=["full", "dots", "mixed", "none"],
+                   choices=["full", "dots", "dots_masks", "mixed", "none"],
                    help="layer rematerialization policy (docs/DESIGN.md); "
-                        "default: dots with flash attention, else full")
+                        "default: dots_masks with flash attention, else full")
     p.add_argument("--rng_impl", default=None,
                    choices=["threefry2x32", "rbg"],
                    help="dropout PRNG: rbg = TPU hardware RngBitGenerator "
@@ -167,7 +167,10 @@ def main(argv=None):
         attn_impl = ("flash" if on_tpu
                      and (args.d_model // args.nhead) % 128 == 0
                      else "einsum")
-    remat = args.remat or ("dots" if attn_impl == "flash" else "full")
+    # dots_masks = dots_saveable + the tagged bool dropout masks (~1 GB at
+    # 830M/B=8): the backward skips RNG regeneration — 605 -> 582 ms/step,
+    # 43.0% MFU (BENCHMARKS.md "Training")
+    remat = args.remat or ("dots_masks" if attn_impl == "flash" else "full")
     rng_impl = args.rng_impl
     if rng_impl is None:
         rng_impl = ("rbg" if jax.default_backend() in ("tpu", "axon")

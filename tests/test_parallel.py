@@ -133,3 +133,53 @@ def test_fsdp_sharded_forward_matches():
         sb = meshlib.shard_tree(mesh, batch, meshlib.batch_specs())
         got = jax.jit(loss8)(sp, sb)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_mesh_train_step_accepts_rbg_key():
+    """The dp×tp GSPMD train step runs with an rbg (hardware
+    RngBitGenerator) dropout key — the `train_lm --rng_impl` TPU default
+    (BENCHMARKS.md "Training"); rbg draws are layout-dependent so this
+    asserts execution + finiteness, not cross-layout bit-equality (which
+    is threefry's contract)."""
+    from ssr_speech_tpu.config import MaskingConfig
+    from ssr_speech_tpu.training import optim as optimlib
+    from ssr_speech_tpu.training.trainer import make_train_step
+
+    tcfg = TrainConfig(
+        optim=OptimConfig(optimizer_name="scaledadam", lr=0.01,
+                          clipping_scale=None, warmup_batches=2,
+                          pseudo_epoch_size=1000),
+        precision="float32", rng_impl="rbg",
+        masking=MaskingConfig(predict_mask_token=True, predict_all=True))
+    params = ssr_model.init_ssr(jax.random.PRNGKey(0), CFG)
+    opt, _ = optimlib.build_optimizer(tcfg.optim, 100)
+    state = opt.init(params)
+    mesh = meshlib.make_mesh(tp=2)
+    step = make_train_step(CFG, tcfg, opt, mesh)
+    params, state, m = step(params, state, make_batch(),
+                            jax.random.key(1, impl="rbg"))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_pp_train_step_accepts_rbg_key():
+    """The GPipe pipeline step (shard_map + ppermute) also accepts an rbg
+    dropout key: typed extended-dtype key arrays must survive the
+    microbatch split/ppermute plumbing."""
+    from ssr_speech_tpu.config import MaskingConfig
+    from ssr_speech_tpu.parallel import pipeline as pl
+    from ssr_speech_tpu.training import optim as optimlib
+
+    tcfg = TrainConfig(
+        optim=OptimConfig(optimizer_name="scaledadam", lr=0.01,
+                          clipping_scale=None, warmup_batches=2,
+                          pseudo_epoch_size=1000),
+        precision="float32", rng_impl="rbg",
+        masking=MaskingConfig(predict_mask_token=True, predict_all=True))
+    opt, _ = optimlib.build_optimizer(tcfg.optim, 100)
+    mesh = pl.make_pp_mesh(pp=2, tp=2)
+    params = pl.shard_params_pp(mesh, ssr_model.init_ssr(jax.random.PRNGKey(0), CFG))
+    state = opt.init(params)
+    step = pl.make_pp_train_step(CFG, tcfg, opt, mesh, n_micro=2)
+    params, state, m = step(params, state, make_batch(),
+                            jax.random.key(2, impl="rbg"))
+    assert np.isfinite(float(m["loss"]))

@@ -181,6 +181,39 @@ def main(phase, remat):
         for name, t in best.items():
             log(f"[{remat}] STEP rng={name:13s} {t*1000:7.1f} ms  "
                 f"({B*sy/t:.0f} codec tok/s, MFU {flops/t/197e12*100:.1f}%)")
+    elif phase == "ab_remat":
+        # remat policy A/B through the FULL production step, interleaved
+        # min-of-groups in ONE process: "dots" (recompute dropout in bwd)
+        # vs "dots_masks" (save the tagged bool masks, ~1 GB at B=8).
+        # PROBE_RNG sets the key impl for both variants.
+        variants = {}
+        for rm in ("dots", "dots_masks"):
+            vcfg = SSRModelConfig(
+                d_model=2048, nhead=16, num_layers=16, n_codebooks=4,
+                text_vocab_size=120, attn_impl=cfg.attn_impl, remat=rm)
+            variants[rm] = make_train_step(vcfg, tcfg, opt)
+        opt_state = opt.init(params)
+        key = jax.random.key(1, impl=os.environ.get("PROBE_RNG", "rbg"))
+        p2, s2 = params, opt_state
+        for name, stepf in variants.items():
+            p2, s2, m = stepf(p2, s2, batch, key)  # compile both
+            float(m["loss"])
+            log(f"compiled {name}")
+        groups, per = 4, 5
+        best = {name: float("inf") for name in variants}
+        for g in range(groups):
+            for name, stepf in variants.items():
+                t0 = time.time()
+                for i in range(per):
+                    p2, s2, m = stepf(p2, s2, batch,
+                                      jax.random.fold_in(key, g * per + i))
+                float(m["loss"])
+                best[name] = min(best[name], (time.time() - t0) / per)
+        S = sx + sy
+        flops = 6 * n_params * B * S + 12 * B * S * S * 2048
+        for name, t in best.items():
+            log(f"[{name}] STEP {t*1000:7.1f} ms  "
+                f"({B*sy/t:.0f} codec tok/s, MFU {flops/t/197e12*100:.1f}%)")
     else:
         raise SystemExit(f"unknown phase {phase}")
 
