@@ -94,7 +94,7 @@ class SSRModelConfig:
     # (bit-locked by the parity goldens); "flash" runs the fused Pallas
     # online-softmax kernel (O(S) memory, lets the trainer relax per-layer
     # remat — ops/flash_attention.py). Decode paths are unaffected.
-    attn_impl: str = "einsum"  # einsum | flash
+    attn_impl: str = "einsum"  # einsum | flash | splash
     # training-forward remat policy: "full" recomputes every layer in the
     # backward (lowest memory — required with einsum attention at the 830M
     # geometry, where saving dots would keep [B,H,S,S] scores); "dots" saves

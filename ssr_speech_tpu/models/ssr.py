@@ -250,7 +250,7 @@ def ssr_forward(
     h, bias, r_trm = ssr_embed(params, cfg, batch,
                                deterministic=deterministic, rng=rng)
     key_valid = None
-    if cfg.attn_impl == "flash":
+    if cfg.attn_impl in ("flash", "splash"):
         sy = batch["y"].shape[1]
         key_valid = ~jnp.concatenate(
             [make_pad_mask(batch["x_lens"], sx),

@@ -189,9 +189,10 @@ def transformer_forward(
     bias = bias.astype(jnp.float32)
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    use_flash = cfg.attn_impl == "flash"
+    use_flash = cfg.attn_impl in ("flash", "splash")
     if use_flash and key_valid is None:
-        raise ValueError("attn_impl='flash' needs key_valid (see ssr_forward)")
+        raise ValueError(f"attn_impl={cfg.attn_impl!r} needs key_valid "
+                         "(see ssr_forward)")
 
     def _pin(x):
         return (jax.lax.with_sharding_constraint(x, act_sharding)
@@ -202,7 +203,8 @@ def transformer_forward(
             from ..ops.flash_attention import flash_attend_xy
 
             mesh, spec = flash_sharding or (None, None)
-            return flash_attend_xy(q, k, v, key_valid, mesh=mesh, spec=spec)
+            return flash_attend_xy(q, k, v, key_valid, mesh=mesh, spec=spec,
+                                   impl=cfg.attn_impl)
         return _attend(q, k, v, bias)
 
     def body(carry, lp):

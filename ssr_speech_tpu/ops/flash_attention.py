@@ -88,8 +88,50 @@ def _kernel_attend(q, k, v, seg, sm_scale: float, block: int = 512):
     return out[:, :, :s, :]
 
 
+@functools.partial(jax.jit, static_argnames=("sm_scale",))
+def _splash_attend(q, k, v, seg, sm_scale: float):
+    """Splash-attention variant (`jax...tpu.splash_attention`): same causal
+    + segment-id semantics as `_kernel_attend` via `CausalMask` and per-row
+    segment ids, vmapped over batch (the kernel is per-example MHA).
+    Splash takes no sm_scale — q is pre-scaled (bf16 rounding of q*scale,
+    inside the paths' reassociation tolerance)."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk, splash_attention_mask as sm_lib)
+
+    b, h, s, dh = q.shape
+    sp = _round_up(s, 128)
+    if sp != s:
+        pad = [(0, 0), (0, 0), (0, sp - s), (0, 0)]
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        seg = jnp.pad(seg, [(0, 0), (0, sp - s)])
+    mask = sm_lib.MultiHeadMask(
+        [sm_lib.CausalMask((sp, sp)) for _ in range(h)])
+    # 256-blocks + the fused dq/dkv backward kernel measured best at the
+    # production geometry (B=8/H=16/S=1280/Dh=128): 584.9 -> 542.3 ms/step,
+    # 46.1% MFU vs the flash_attention kernel — full-step interleaved A/B,
+    # tools/train_breakdown_probe.py ab_attn. Splash's library defaults
+    # (block_q 512 / block_kv 1024, unfused bwd) measured 36% WORSE than
+    # flash there. SSR_SPLASH_BQ / SSR_SPLASH_FUSED override for probing.
+    import os as _os
+    bq = int(_os.environ.get("SSR_SPLASH_BQ", "256"))
+    fused = _os.environ.get("SSR_SPLASH_FUSED", "1") == "1"
+    bq = min(bq, sp)
+    if fused:
+        bs = sk.BlockSizes(block_q=bq, block_kv=bq, block_q_dkv=bq,
+                           block_kv_dkv=bq, use_fused_bwd_kernel=True)
+    else:
+        bs = sk.BlockSizes(block_q=bq, block_kv=bq, block_q_dkv=bq,
+                           block_kv_dkv=bq, block_q_dq=bq, block_kv_dq=bq)
+    kernel = sk.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1,
+                                block_sizes=bs)
+    q = (q * sm_scale).astype(q.dtype)
+    out = jax.vmap(lambda qq, kk, vv, ss: kernel(
+        qq, kk, vv, segment_ids=sk.SegmentIds(ss, ss)))(q, k, v, seg)
+    return out[:, :, :s, :]
+
+
 def flash_attend_xy(q, k, v, key_valid, *, sm_scale=None, block: int = 512,
-                    mesh=None, spec=None):
+                    mesh=None, spec=None, impl: str = "flash"):
     """Fused causal+padding attention over the [text ; audio] joint sequence.
 
     q/k/v: [B, H, S, Dh] (Q NOT pre-scaled); key_valid: [B, S] bool, True at
@@ -111,6 +153,8 @@ def flash_attend_xy(q, k, v, key_valid, *, sm_scale=None, block: int = 512,
 
     def _dispatch(q, k, v, seg):
         if _supports_kernel(q.shape[-1]):
+            if impl == "splash":
+                return _splash_attend(q, k, v, seg, sm_scale)
             return _kernel_attend(q, k, v, seg, sm_scale, block=block)
         return reference_attend(q, k, v, seg != 0, sm_scale)
 

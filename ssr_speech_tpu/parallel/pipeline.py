@@ -281,7 +281,7 @@ def make_pp_train_step(
 
     pp = mesh.shape["pp"]
     n_micro = n_micro or 2 * pp
-    if cfg.attn_impl == "flash" or cfg.remat not in ("full", True):
+    if cfg.attn_impl in ("flash", "splash") or cfg.remat not in ("full", True):
         # the pipeline stage body always uses einsum attention with its own
         # per-layer remat: microbatches are small (B/n_micro), so the
         # [mb,H,S,S] scores that motivated flash+relaxed-remat on the

@@ -117,10 +117,11 @@ def build_parser():
                    help="1 = unroll the layer loop (1.58x on TPU; the "
                         "default there), 0 = lax.scan; default: by backend")
     p.add_argument("--attn_impl", default=None,
-                   choices=["einsum", "flash"],
-                   help="training attention: fused Pallas flash kernel "
-                        "(1.25x step, enables relaxed remat) or einsum; "
-                        "default: flash on TPU when head_dim %% 128 == 0")
+                   choices=["einsum", "flash", "splash"],
+                   help="training attention: splash (fused Pallas kernel, "
+                        "256-block fused bwd — 46.1%% MFU), flash, or "
+                        "einsum; default: splash on TPU when "
+                        "head_dim %% 128 == 0")
     p.add_argument("--remat", default=None,
                    choices=["full", "dots", "dots_masks", "mixed", "none"],
                    help="layer rematerialization policy (docs/DESIGN.md); "
@@ -164,13 +165,16 @@ def main(argv=None):
     attn_impl = args.attn_impl
     if attn_impl is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        attn_impl = ("flash" if on_tpu
+        # splash (256-block fused-bwd) > flash > einsum at the production
+        # geometry: 585 -> 542 ms/step, 46.1% MFU (BENCHMARKS.md "Training")
+        attn_impl = ("splash" if on_tpu
                      and (args.d_model // args.nhead) % 128 == 0
                      else "einsum")
     # dots_masks = dots_saveable + the tagged bool dropout masks (~1 GB at
     # 830M/B=8): the backward skips RNG regeneration — 605 -> 582 ms/step,
     # 43.0% MFU (BENCHMARKS.md "Training")
-    remat = args.remat or ("dots_masks" if attn_impl == "flash" else "full")
+    remat = args.remat or ("dots_masks" if attn_impl in ("flash", "splash")
+                           else "full")
     rng_impl = args.rng_impl
     if rng_impl is None:
         rng_impl = ("rbg" if jax.default_backend() in ("tpu", "axon")

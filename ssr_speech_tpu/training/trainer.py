@@ -72,7 +72,7 @@ def make_train_step(
     # with relaxed remat (ops/flash_attention.py); cfg.remat picks the policy
     remat = cfg.remat
     flash_sharding = None
-    if cfg.attn_impl == "flash" and mesh is not None:
+    if cfg.attn_impl in ("flash", "splash") and mesh is not None:
         # the Pallas kernel has no GSPMD rule: run it shard_map'ed with batch
         # on dp and heads on tp (both communication-free for attention)
         flash_sharding = (mesh, P("dp", "tp", None, None))
@@ -168,7 +168,7 @@ def make_eval_step(cfg: SSRModelConfig, tcfg: TrainConfig, mesh=None):
     # same shard_map wrapping as the train step: without it the Pallas flash
     # call has no GSPMD rule and the first validation on a mesh fails
     flash_sharding = None
-    if cfg.attn_impl == "flash" and mesh is not None:
+    if cfg.attn_impl in ("flash", "splash") and mesh is not None:
         flash_sharding = (mesh, P("dp", "tp", None, None))
 
     @jax.jit

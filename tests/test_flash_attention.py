@@ -212,3 +212,52 @@ def test_mixed_remat_grads_match_none():
         for a, b in zip(jax.tree.leaves(g_none), jax.tree.leaves(g)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-7, rtol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="Pallas TPU kernel")
+def test_splash_kernel_matches_fallback_tpu():
+    """The splash-attention variant (attn_impl="splash": 256-block fused-bwd
+    kernel, 585 -> 542 ms/step, 46.1% MFU at 830M/B=8 — BENCHMARKS.md)
+    matches the jnp fallback on valid rows, same contract as the flash
+    kernel test above."""
+    b, h, s, dh = 2, 2, 200, 128
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), b, h, s, dh)
+    q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    key_valid = jnp.ones((b, s), bool)
+    key_valid = key_valid.at[0, 100:120].set(False).at[1, 180:].set(False)
+    sm = 1.0 / math.sqrt(dh)
+    want = flat.reference_attend(q, k, v, key_valid, sm)
+    got = flat._splash_attend(q, k, v, key_valid.astype(jnp.int32), sm)
+    valid = np.asarray(key_valid)
+    for bi in range(b):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32)[bi][:, valid[bi]],
+            np.asarray(want, np.float32)[bi][:, valid[bi]],
+            atol=3e-2, rtol=3e-2)
+
+
+def test_splash_plumbing_matches_flash_off_tpu():
+    """attn_impl="splash" routes through the same fallback as "flash" off
+    TPU: identical losses (locks config plumbing; kernel numerics are
+    TPU-gated above and checked at 830M by the ab_attn probe's bare-loss
+    diff, rel ~7e-7)."""
+    kw = dict(d_model=128, nhead=1, num_layers=2, n_codebooks=4,
+              audio_embedding_dim=128, text_vocab_size=40, trm_dropout=0.0)
+    from ssr_speech_tpu.config import SSRModelConfig
+    cfg_f = SSRModelConfig(attn_impl="flash", **kw)
+    cfg_s = SSRModelConfig(attn_impl="splash", **kw)
+    from ssr_speech_tpu.models import ssr as ssr_model
+    params = ssr_model.init_ssr(jax.random.PRNGKey(0), cfg_f)
+    rng = np.random.default_rng(0)
+    batch = dict(
+        x=rng.integers(0, 40, size=(2, 8)).astype(np.int32),
+        x_lens=np.array([8, 6], np.int32),
+        y=rng.integers(0, cfg_f.tokens.audio_vocab_size,
+                       size=(2, 24, 4)).astype(np.int32),
+        y_lens=np.array([24, 20], np.int32))
+    lf = float(ssr_model.ssr_forward(params, cfg_f, batch,
+                                     deterministic=True)["loss"])
+    ls = float(ssr_model.ssr_forward(params, cfg_s, batch,
+                                     deterministic=True)["loss"])
+    assert lf == ls

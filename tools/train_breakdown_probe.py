@@ -214,6 +214,49 @@ def main(phase, remat):
         for name, t in best.items():
             log(f"[{name}] STEP {t*1000:7.1f} ms  "
                 f"({B*sy/t:.0f} codec tok/s, MFU {flops/t/197e12*100:.1f}%)")
+    elif phase == "ab_attn":
+        # flash vs splash attention through the FULL production step
+        # (remat from argv, default dots; PROBE_RNG default rbg),
+        # interleaved min-of-groups in ONE process. Starts with a bare-loss
+        # numerics check on identical params/key.
+        variants = {}
+        for impl in ("flash", "splash"):
+            vcfg = SSRModelConfig(
+                d_model=2048, nhead=16, num_layers=16, n_codebooks=4,
+                text_vocab_size=120, attn_impl=impl, remat=remat)
+            variants[impl] = (vcfg, make_train_step(vcfg, tcfg, opt))
+        key = jax.random.key(1, impl=os.environ.get("PROBE_RNG", "rbg"))
+        losses = {}
+        for name, (vcfg, _) in variants.items():
+            losses[name] = float(jax.jit(
+                lambda p, b, r, c=vcfg: ssr_model.ssr_forward(
+                    p, c, b, deterministic=True, rng=r,
+                    compute_dtype=jnp.bfloat16, unroll=True,
+                    remat=remat)["loss"])(params, batch, key))
+        rel = abs(losses["flash"] - losses["splash"]) / abs(losses["flash"])
+        log(f"bare loss flash {losses['flash']:.4f} splash "
+            f"{losses['splash']:.4f} rel diff {rel:.2e}")
+        opt_state = opt.init(params)
+        p2, s2 = params, opt_state
+        for name, (_, stepf) in variants.items():
+            p2, s2, m = stepf(p2, s2, batch, key)
+            float(m["loss"])
+            log(f"compiled {name}")
+        groups, per = 4, 5
+        best = {name: float("inf") for name in variants}
+        for g in range(groups):
+            for name, (_, stepf) in variants.items():
+                t0 = time.time()
+                for i in range(per):
+                    p2, s2, m = stepf(p2, s2, batch,
+                                      jax.random.fold_in(key, g * per + i))
+                float(m["loss"])
+                best[name] = min(best[name], (time.time() - t0) / per)
+        S = sx + sy
+        flops = 6 * n_params * B * S + 12 * B * S * S * 2048
+        for name, t in best.items():
+            log(f"[{name}] STEP {t*1000:7.1f} ms  "
+                f"({B*sy/t:.0f} codec tok/s, MFU {flops/t/197e12*100:.1f}%)")
     else:
         raise SystemExit(f"unknown phase {phase}")
 
