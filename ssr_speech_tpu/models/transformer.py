@@ -134,6 +134,36 @@ def _ffn_act(cfg: SSRModelConfig, deterministic: bool):
     raise ValueError(cfg.activation)
 
 
+def wrap_remat(body, mode: str):
+    """Map a remat MODE string onto a (possibly checkpointed) layer body —
+    shared by ``transformer_forward`` and the pipeline stage body
+    (``parallel/pipeline.py``) so both paths run identical policies.
+
+    "full": recompute every layer in the backward (lowest memory; REMAT_POLICY
+    overrides the policy module-wide for probes). "dots"/"mixed": save matmul
+    outputs, recompute elementwise only — viable when the attention is fused
+    (no [B,H,S,S] dot output to keep); "mixed" additionally leaves every other
+    UNROLLED layer un-rematted, which the unrolling caller arranges itself
+    (under a scan it degrades to "dots"). "dots_masks": dots + the
+    checkpoint_name-tagged bool dropout masks (~1 GB at 830M/B=8) so the
+    backward skips both RNG regeneration and the bernoulli compare — judged by
+    full-step interleaved A/B only (docs/DESIGN.md). "none": save everything.
+    """
+    if mode == "full":
+        return (jax.checkpoint(body, policy=REMAT_POLICY)
+                if REMAT_POLICY is not None else jax.checkpoint(body))
+    if mode in ("dots", "mixed"):
+        return jax.checkpoint(body, policy=jax.checkpoint_policies.dots_saveable)
+    if mode == "dots_masks":
+        return jax.checkpoint(
+            body, policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_saveable,
+                jax.checkpoint_policies.save_only_these_names("drop_mask")))
+    if mode == "none":
+        return body
+    raise ValueError(f"remat mode {mode!r}")
+
+
 def transformer_forward(
     params: Params,
     h: jnp.ndarray,
@@ -223,36 +253,8 @@ def transformer_forward(
         h = _pin(h + _dropout(ff, rate, k3, deterministic))
         return (h, key), None
 
-    # remat accepts the legacy bools (True="full", False="none") or a mode
-    # string from SSRModelConfig.remat
     mode = {True: "full", False: "none"}.get(remat, remat)
-    if mode == "full":
-        # REMAT_POLICY None = full per-layer remat (lowest memory). A
-        # saveable policy (e.g. jax.checkpoint_policies.dots_saveable)
-        # trades HBM for fewer recomputed matmuls in the backward.
-        scan_body = (jax.checkpoint(body, policy=REMAT_POLICY)
-                     if REMAT_POLICY is not None else jax.checkpoint(body))
-    elif mode in ("dots", "mixed"):
-        # save matmul outputs, recompute elementwise only — viable when the
-        # attention is fused (no [B,H,S,S] dot output to keep). "mixed"
-        # additionally leaves every other UNROLLED layer un-rematted (save
-        # everything): a memory point between "dots" (fits 16 GB at B=4)
-        # and "none" (compiler OOM); under the scan it degrades to "dots".
-        scan_body = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.dots_saveable)
-    elif mode == "dots_masks":
-        # dots + the tagged bool dropout masks (~1 GB at 830M/B=8): the
-        # backward then skips both RNG regeneration and the bernoulli
-        # compare — judged by full-step interleaved A/B only (isolated
-        # forward probes mis-rank elementwise levers, docs/DESIGN.md)
-        scan_body = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.save_from_both_policies(
-                jax.checkpoint_policies.dots_saveable,
-                jax.checkpoint_policies.save_only_these_names("drop_mask")))
-    elif mode == "none":
-        scan_body = body
-    else:
-        raise ValueError(f"remat mode {remat!r}")
+    scan_body = wrap_remat(body, mode)
     if unroll:
         carry = (_pin(h), rng)
         for l in range(cfg.num_layers):

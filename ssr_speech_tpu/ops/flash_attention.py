@@ -88,8 +88,20 @@ def _kernel_attend(q, k, v, seg, sm_scale: float, block: int = 512):
     return out[:, :, :s, :]
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale",))
-def _splash_attend(q, k, v, seg, sm_scale: float):
+def _pick_block(sp: int, req: int) -> int:
+    """Largest block size <= `req` that divides the padded length `sp`.
+
+    Splash/flash mask processing requires block_q | q_seq_len (ValueError
+    otherwise); training buckets pad x/y to multiples of 32, so joint lengths
+    that pad to ODD multiples of 128 (384, 640, 1152, ...) are routine and the
+    256 default cannot be used verbatim. sp is always a 128 multiple here so
+    the 128 fallback always divides."""
+    return next(c for c in (req, 256, 128) if c <= sp and sp % c == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "bq_req", "fused"))
+def _splash_attend(q, k, v, seg, sm_scale: float, bq_req: int = 256,
+                   fused: bool = True):
     """Splash-attention variant (`jax...tpu.splash_attention`): same causal
     + segment-id semantics as `_kernel_attend` via `CausalMask` and per-row
     segment ids, vmapped over batch (the kernel is per-example MHA).
@@ -111,11 +123,9 @@ def _splash_attend(q, k, v, seg, sm_scale: float):
     # 46.1% MFU vs the flash_attention kernel — full-step interleaved A/B,
     # tools/train_breakdown_probe.py ab_attn. Splash's library defaults
     # (block_q 512 / block_kv 1024, unfused bwd) measured 36% WORSE than
-    # flash there. SSR_SPLASH_BQ / SSR_SPLASH_FUSED override for probing.
-    import os as _os
-    bq = int(_os.environ.get("SSR_SPLASH_BQ", "256"))
-    fused = _os.environ.get("SSR_SPLASH_FUSED", "1") == "1"
-    bq = min(bq, sp)
+    # flash there. SSR_SPLASH_BQ / SSR_SPLASH_FUSED override for probing
+    # (read in flash_attend_xy so they reach the jit cache as static args).
+    bq = _pick_block(sp, bq_req)
     if fused:
         bs = sk.BlockSizes(block_q=bq, block_kv=bq, block_q_dkv=bq,
                            block_kv_dkv=bq, use_fused_bwd_kernel=True)
@@ -150,11 +160,15 @@ def flash_attend_xy(q, k, v, key_valid, *, sm_scale=None, block: int = 512,
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     seg = key_valid.astype(jnp.int32)
+    import os as _os
+    splash_bq = int(_os.environ.get("SSR_SPLASH_BQ", "256"))
+    splash_fused = _os.environ.get("SSR_SPLASH_FUSED", "1") == "1"
 
     def _dispatch(q, k, v, seg):
         if _supports_kernel(q.shape[-1]):
             if impl == "splash":
-                return _splash_attend(q, k, v, seg, sm_scale)
+                return _splash_attend(q, k, v, seg, sm_scale,
+                                      bq_req=splash_bq, fused=splash_fused)
             return _kernel_attend(q, k, v, seg, sm_scale, block=block)
         return reference_attend(q, k, v, seg != 0, sm_scale)
 

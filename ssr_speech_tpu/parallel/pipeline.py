@@ -23,7 +23,6 @@ because inside ``shard_map`` the collectives are explicit.
 from __future__ import annotations
 
 import functools
-import logging
 from typing import Any, Dict, Optional
 
 import jax
@@ -106,18 +105,33 @@ def pp_param_specs() -> Dict[str, Any]:
     )
 
 
-def _apply_stage(layers_local, h, bias, mkey, *, cfg: SSRModelConfig,
-                 stage, layers_per_stage: int, tp_size: int, dtype,
-                 deterministic: bool, remat: bool, unroll: bool = False):
+def _apply_stage(layers_local, h, bias, key_valid, mkey, *,
+                 cfg: SSRModelConfig, stage, layers_per_stage: int,
+                 tp_size: int, dtype, deterministic: bool, remat: str,
+                 unroll: bool = False):
     """Apply this stage's contiguous layer slice to one microbatch.
 
     layers_local: stage slice, leaves [Ls, ...] (tp blocks already local).
-    h [mb, S, D] replicated over tp; bias [mb, 1, S, S].
+    h [mb, S, D] replicated over tp; bias [mb, 1, S, S] (einsum attention) or
+    a dummy when ``cfg.attn_impl`` is fused; key_valid [mb, S] bool (fused
+    attention segment mask — the flagship splash/dots_masks operating point
+    runs here exactly as on the single-chip step, see ``flash_attend_xy``).
+    remat: mode string (``transformer.wrap_remat``).
     """
     nhead_local = cfg.nhead // tp_size
     rate = cfg.trm_dropout
     act = trf._ffn_act(cfg, deterministic)
     tp_idx = jax.lax.axis_index("tp") if tp_size > 1 else 0
+    use_fused = cfg.attn_impl in ("flash", "splash")
+
+    def _mha(q, k, v):
+        if use_fused:
+            from ..ops.flash_attention import flash_attend_xy
+
+            # already per-device inside shard_map: no mesh wrapper; the tp
+            # head shard is embarrassingly parallel for attention
+            return flash_attend_xy(q, k, v, key_valid, impl=cfg.attn_impl)
+        return trf._attend(q, k, v, bias.astype(jnp.float32))
 
     def body(h, xs):
         lp, li = xs
@@ -128,9 +142,9 @@ def _apply_stage(layers_local, h, bias, mkey, *, cfg: SSRModelConfig,
         q = hn @ lp["q_w"].astype(dtype) + lp["q_b"].astype(dtype)
         k = hn @ lp["k_w"].astype(dtype) + lp["k_b"].astype(dtype)
         v = hn @ lp["v_w"].astype(dtype) + lp["v_b"].astype(dtype)
-        attn = trf._attend(
+        attn = _mha(
             trf._split_heads(q, nhead_local), trf._split_heads(k, nhead_local),
-            trf._split_heads(v, nhead_local), bias.astype(jnp.float32))
+            trf._split_heads(v, nhead_local))
         attn = trf._merge_heads(attn) @ lp["out_w"].astype(dtype)
         if tp_size > 1:  # row-parallel out-proj: partial sums over head blocks
             attn = jax.lax.psum(attn, "tp")
@@ -147,27 +161,30 @@ def _apply_stage(layers_local, h, bias, mkey, *, cfg: SSRModelConfig,
         h = h + trf._dropout(ff, rate, k3, deterministic)
         return h, None
 
-    scan_body = jax.checkpoint(body) if remat else body
+    scan_body = trf.wrap_remat(body, remat)
     if unroll:  # same grad-stacking win as transformer_forward(unroll=True)
         h = h.astype(dtype)
         for li in range(layers_per_stage):
             lp = jax.tree.map(lambda a: a[li], layers_local)
-            h, _ = scan_body(h, (lp, jnp.asarray(li)))
+            lbody = body if (remat == "mixed" and li % 2 == 0) else scan_body
+            h, _ = lbody(h, (lp, jnp.asarray(li)))
     else:
         h, _ = jax.lax.scan(scan_body, h.astype(dtype),
                             (layers_local, jnp.arange(layers_per_stage)))
     return h
 
 
-def _pipeline_local(layers_local, h_all, bias_all, rng, *, cfg: SSRModelConfig,
-                    pp: int, tp_size: int, dtype, deterministic: bool,
-                    remat: bool, unroll: bool = False):
+def _pipeline_local(layers_local, h_all, bias_all, kv_all, rng, *,
+                    cfg: SSRModelConfig, pp: int, tp_size: int, dtype,
+                    deterministic: bool, remat: str, unroll: bool = False):
     """shard_map body: the GPipe tick loop on ONE device (= one pp stage,
     one dp batch shard, one tp block).
 
     h_all [M, mb, S, D] microbatched embeddings (replicated over pp/tp),
-    bias_all [M, mb, 1, S, S]. Returns the last stage's outputs broadcast to
-    every stage via a masked psum (one [M, mb, S, D] all-reduce per step).
+    bias_all [M, mb, 1, S, S] (einsum; a [M, mb, 1, 1, 1] dummy under fused
+    attention), kv_all [M, mb, S] bool key validity (fused attention; all-True
+    under einsum). Returns the last stage's outputs broadcast to every stage
+    via a masked psum (one [M, mb, S, D] all-reduce per step).
     """
     M = h_all.shape[0]
     stage = jax.lax.axis_index("pp")
@@ -184,14 +201,16 @@ def _pipeline_local(layers_local, h_all, bias_all, rng, *, cfg: SSRModelConfig,
                         state)
         m_here = jnp.clip(t - stage, 0, M - 1)  # microbatch at this stage
         bias = jax.lax.dynamic_index_in_dim(bias_all, m_here, keepdims=False)
+        kv = jax.lax.dynamic_index_in_dim(kv_all, m_here, keepdims=False)
         # fold the dp coordinate in too: without it every dp shard of a
         # microbatch draws IDENTICAL dropout masks (the GSPMD step's masks
         # are globally random across the batch)
         mkey = jax.random.fold_in(jax.random.fold_in(rng, m_here),
                                   jax.lax.axis_index("dp"))
-        y = _apply_stage(layers_local, inp, bias, mkey, cfg=cfg, stage=stage,
-                         layers_per_stage=layers_per_stage, tp_size=tp_size,
-                         dtype=dtype, deterministic=deterministic, remat=remat,
+        y = _apply_stage(layers_local, inp, bias, kv, mkey, cfg=cfg,
+                         stage=stage, layers_per_stage=layers_per_stage,
+                         tp_size=tp_size, dtype=dtype,
+                         deterministic=deterministic, remat=remat,
                          unroll=unroll)
         # last stage writes microbatch t-(P-1)'s finished activations
         m_out = t - (pp - 1)
@@ -219,15 +238,21 @@ def pipeline_transformer(
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     dtype=jnp.bfloat16,
-    remat: bool = True,
+    remat="full",
     unroll: bool = False,
+    key_valid_mb: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Pipelined equivalent of ``transformer_forward`` over microbatches.
 
     dec_params: the decoder tree (stacked ``layers`` + final norm); h_mb
-    [M, mb, S, D]; bias_mb [M, mb, 1, S, S]. Returns [M, mb, S, D] after the
-    final LayerNorm. Output matches ``transformer_forward`` per microbatch up
-    to matmul-reduction reordering (tests/test_pipeline.py).
+    [M, mb, S, D]; bias_mb [M, mb, 1, S, S] (any trailing dims under fused
+    attention — then unused); key_valid_mb [M, mb, S] bool, required when
+    ``cfg.attn_impl`` is "flash"/"splash" (the stage body runs the fused
+    Pallas kernel per device — the flagship splash + dots_masks operating
+    point, same as the single-chip step). remat: mode string or legacy bool
+    (``transformer.wrap_remat``). Returns [M, mb, S, D] after the final
+    LayerNorm. Output matches ``transformer_forward`` per microbatch up to
+    matmul-reduction reordering (tests/test_pipeline.py).
     """
     assert "pp" in mesh.axis_names, mesh.axis_names
     pp = mesh.shape["pp"]
@@ -236,6 +261,11 @@ def pipeline_transformer(
     assert cfg.nhead % tp_size == 0 and cfg.ffn_dim % tp_size == 0
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    remat = {True: "full", False: "none"}.get(remat, remat)
+    if cfg.attn_impl in ("flash", "splash") and key_valid_mb is None:
+        raise ValueError(f"attn_impl={cfg.attn_impl!r} needs key_valid_mb")
+    if key_valid_mb is None:  # einsum: unused, keep the operand tree static
+        key_valid_mb = jnp.ones(h_mb.shape[:3], bool)
 
     layers = split_qkv(dec_params["layers"], cfg.d_model)
     lspecs = _layer_specs_pp()
@@ -246,16 +276,17 @@ def pipeline_transformer(
                 is_leaf=lambda x: isinstance(x, P))
     act_spec = P(None, "dp", None, None) if "dp" in mesh.axis_names else P()
     bias_spec = P(None, "dp", None, None, None) if "dp" in mesh.axis_names else P()
+    kv_spec = P(None, "dp", None) if "dp" in mesh.axis_names else P()
 
     body = functools.partial(
         _pipeline_local, cfg=cfg, pp=pp, tp_size=tp_size, dtype=dtype,
         deterministic=deterministic, remat=remat, unroll=unroll)
     out = _shard_map(
         body, mesh=mesh,
-        in_specs=(lspecs, act_spec, bias_spec, P()),
+        in_specs=(lspecs, act_spec, bias_spec, kv_spec, P()),
         out_specs=act_spec,
         check_vma=False,
-    )(layers, h_mb, bias_mb, rng)
+    )(layers, h_mb, bias_mb, key_valid_mb, rng)
     return trf.layer_norm(out, dec_params["final_ln_w"], dec_params["final_ln_b"])
 
 
@@ -281,23 +312,16 @@ def make_pp_train_step(
 
     pp = mesh.shape["pp"]
     n_micro = n_micro or 2 * pp
-    if cfg.attn_impl in ("flash", "splash") or cfg.remat not in ("full", True):
-        # the pipeline stage body always uses einsum attention with its own
-        # per-layer remat: microbatches are small (B/n_micro), so the
-        # [mb,H,S,S] scores that motivated flash+relaxed-remat on the
-        # single-chip step stay tiny here. Numerics are identical; warn so
-        # the dropped speed/memory policy isn't silent.
-        logging.getLogger(__name__).warning(
-            "pp train step ignores attn_impl=%r/remat=%r (einsum attention "
-            "+ per-layer remat per microbatch)", cfg.attn_impl, cfg.remat)
     if unroll is None:  # unroll the per-stage layer loop on TPU (1.58x)
         unroll = jax.default_backend() in ("tpu", "axon")
     compute_dtype = jnp.bfloat16 if tcfg.precision == "bfloat16" else jnp.float32
     normalize = tcfg.optim.optimizer_name.lower() != "scaledadam"
     cw = tcfg.codebook_weight
+    fused = cfg.attn_impl in ("flash", "splash")
 
     def loss_fn(params, batch, rng):
         B, sx = batch["x"].shape
+        sy = batch["y"].shape[1]
         M = n_micro
         mb = jax.tree.map(lambda a: a.reshape((M, B // M) + a.shape[1:]), batch)
         keys = jax.random.split(rng, M + 1)
@@ -305,10 +329,22 @@ def make_pp_train_step(
             lambda b, k: ssr_model.ssr_embed(
                 params, cfg, b, deterministic=False, rng=k)
         )(mb, keys[1:])
+        kv_mb = None
+        if fused:
+            # fused attention rebuilds the xy mask from causality + segment
+            # ids; the dense [mb,1,S,S] bias is then dead — hand the stage a
+            # dummy so XLA never materializes it
+            from ..ops.masking import make_pad_mask
+
+            kv_mb = ~jnp.concatenate(
+                [make_pad_mask(batch["x_lens"], sx),
+                 make_pad_mask(batch["y_lens"], sy)], axis=1
+            ).reshape(M, B // M, sx + sy)
+            bias_mb = jnp.zeros((M, B // M, 1, 1, 1), jnp.float32)
         out = pipeline_transformer(
             params["decoder"], h_mb, bias_mb, cfg, mesh,
             rng=keys[0], deterministic=False, dtype=compute_dtype,
-            unroll=unroll)
+            unroll=unroll, remat=cfg.remat, key_valid_mb=kv_mb)
 
         def mb_loss(o, b):
             res = ssr_model.ssr_loss_from_hidden(

@@ -237,6 +237,42 @@ def test_splash_kernel_matches_fallback_tpu():
             atol=3e-2, rtol=3e-2)
 
 
+def test_pick_block_divides_padded_length():
+    """Block selection must satisfy splash/flash's block_q | q_seq_len
+    requirement for every 128-multiple padded length the 32-multiple
+    training buckets can produce (odd multiples of 128 are routine:
+    x+y=300 pads to 384, 610 to 640, 1130 to 1152)."""
+    for sp in (128, 256, 384, 512, 640, 1152, 1280, 2048):
+        for req in (128, 256, 512):
+            bq = flat._pick_block(sp, req)
+            assert sp % bq == 0 and bq <= sp and bq in (req, 256, 128)
+    assert flat._pick_block(384, 256) == 128
+    assert flat._pick_block(1280, 256) == 256
+    assert flat._pick_block(512, 512) == 512
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="Pallas TPU kernel")
+def test_splash_kernel_odd_128_multiple_tpu():
+    """s=300 pads to 384 — an odd multiple of 128 where the default 256
+    block does not divide the padded length. The kernel must fall back to
+    128 blocks (not raise) and still match the jnp reference."""
+    b, h, s, dh = 2, 2, 300, 128
+    q, k, v = _rand_qkv(jax.random.PRNGKey(13), b, h, s, dh)
+    q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    key_valid = jnp.ones((b, s), bool)
+    key_valid = key_valid.at[0, 150:170].set(False).at[1, 280:].set(False)
+    sm = 1.0 / math.sqrt(dh)
+    want = flat.reference_attend(q, k, v, key_valid, sm)
+    got = flat._splash_attend(q, k, v, key_valid.astype(jnp.int32), sm)
+    valid = np.asarray(key_valid)
+    for bi in range(b):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32)[bi][:, valid[bi]],
+            np.asarray(want, np.float32)[bi][:, valid[bi]],
+            atol=3e-2, rtol=3e-2)
+
+
 def test_splash_plumbing_matches_flash_off_tpu():
     """attn_impl="splash" routes through the same fallback as "flash" off
     TPU: identical losses (locks config plumbing; kernel numerics are
