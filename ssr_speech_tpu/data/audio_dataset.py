@@ -17,7 +17,10 @@ Capability parity with ``audiocraft/audiocraft/data/audio_dataset.py``
     only after the final retry;
   - ``pad``: when False, short reads raise instead of padding (the batched
     iterator requires pad=True for static shapes);
-  - ``min_audio_duration`` / ``max_audio_duration`` manifest filters.
+  - ``min_audio_duration`` / ``max_audio_duration`` manifest filters;
+  - zip-archive corpora: manifest paths of the form
+    ``archive.zip:inside/file.wav`` (reference ``data/zip.py:22`` PathInZip)
+    and gzipped ``.jsonl.gz`` manifests (``audio_dataset.py:215,236``).
 
 Mono conversion + resample via ``utils.audio``. Batches come out at one
 static shape so the codec GAN step compiles once.
@@ -25,6 +28,7 @@ static shape so the codec GAN step compiles once.
 
 from __future__ import annotations
 
+import gzip
 import json
 import logging
 import os
@@ -73,7 +77,14 @@ class AudioSegmentDataset:
         self.max_read_retry = max_read_retry
         self.pad = pad
         self.metas: List[Dict] = []
-        with open(manifest) as f:
+        # .jsonl.gz manifests (reference audio_dataset.py:215,236) and
+        # zip-member "archive.zip:inside.wav" paths (reference data/zip.py:22
+        # PathInZip) are both accepted; zip rows route through the python
+        # reader's cached handle pool (utils.audio.split_zip_path) — the
+        # native threaded loader flags them unparseable and the per-row
+        # fallback picks them up.
+        open_fn = gzip.open if manifest.lower().endswith(".gz") else open
+        with open_fn(manifest, "rt") as f:
             for line in f:
                 if not line.strip():
                     continue

@@ -11,15 +11,66 @@ from __future__ import annotations
 
 import math
 import struct
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
 
+# -- zip-member paths ---------------------------------------------------
+# The reference stores corpus files inside zip archives addressed as
+# "<zip_path>:<member_path>" (audiocraft/audiocraft/data/zip.py:22 PathInZip,
+# consumed by audio_dataset.py) with an LRU pool of open zipfile handles
+# (zip.py:48-63). Same convention here; `read_wav` accepts either form.
+
+_ZIP_SEP = ":"
+_ZIP_POOL_SIZE = 32
+_zip_pool: dict = {}
+_zip_lock = threading.Lock()
+
+
+def split_zip_path(path: str) -> Optional[Tuple[str, str]]:
+    """"/a/foo.zip:inside/x.wav" -> ("/a/foo.zip", "inside/x.wav"); None for
+    plain filesystem paths (no separator, or the prefix isn't a .zip)."""
+    if _ZIP_SEP not in path:
+        return None
+    zip_path, _, member = path.partition(_ZIP_SEP)
+    if not zip_path.lower().endswith(".zip"):
+        return None
+    return zip_path, member
+
+
+def set_zip_cache_size(max_size: int) -> None:
+    """Cap the open-handle pool (reference zip.py:55 set_zip_cache_size)."""
+    global _ZIP_POOL_SIZE
+    with _zip_lock:
+        _ZIP_POOL_SIZE = max_size
+        while len(_zip_pool) > _ZIP_POOL_SIZE:
+            _zip_pool.pop(next(iter(_zip_pool))).close()
+
+
+def _read_bytes(path: str) -> bytes:
+    """File bytes; zip members read through the cached handle pool."""
+    zp = split_zip_path(path)
+    if zp is None:
+        with open(path, "rb") as f:
+            return f.read()
+    zip_path, member = zp
+    import zipfile
+
+    with _zip_lock:
+        zf = _zip_pool.pop(zip_path, None)
+        if zf is None:
+            zf = zipfile.ZipFile(zip_path, "r")
+        _zip_pool[zip_path] = zf  # reinsert = move to MRU end
+        while len(_zip_pool) > _ZIP_POOL_SIZE:
+            _zip_pool.pop(next(iter(_zip_pool))).close()
+        return zf.read(member)
+
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Returns (samples [C, T] float32 in [-1, 1], sample_rate)."""
-    with open(path, "rb") as f:
-        data = f.read()
+    """Returns (samples [C, T] float32 in [-1, 1], sample_rate). `path` may
+    be a plain file or a zip member ("archive.zip:inside.wav")."""
+    data = _read_bytes(path)
     assert data[:4] == b"RIFF" and data[8:12] == b"WAVE", f"not a WAV: {path}"
     pos = 12
     fmt = None

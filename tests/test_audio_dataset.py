@@ -115,6 +115,114 @@ def test_max_audio_duration_filter(tmp_path):
     assert len(ds) == 1
 
 
+def _zip_manifest(tmp_path, entries, gz=False):
+    """Corpus stored INSIDE a zip archive; manifest paths use the reference's
+    "<zip>:<member>" convention (data/zip.py:22 PathInZip)."""
+    import gzip
+    import zipfile
+
+    rng = np.random.default_rng(0)
+    zpath = str(tmp_path / "corpus.zip")
+    lines = []
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for i, e in enumerate(entries):
+            t = int(TINY.sample_rate * e["duration"])
+            loose = tmp_path / f"z{i}.wav"
+            audio_io.write_wav(
+                str(loose),
+                (rng.normal(size=(1, max(t, 1))) * 0.1).astype(np.float32),
+                TINY.sample_rate)
+            member = f"audio/z{i}.wav"
+            zf.write(str(loose), member)
+            lines.append(json.dumps({**e, "path": f"{zpath}:{member}",
+                                     "sample_rate": TINY.sample_rate}))
+            loose.unlink()
+    mf = str(tmp_path / ("data.jsonl.gz" if gz else "data.jsonl"))
+    data = "\n".join(lines)
+    if gz:
+        with gzip.open(mf, "wt") as f:
+            f.write(data)
+    else:
+        with open(mf, "w") as f:
+            f.write(data)
+    return mf
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_zip_corpus_loads(tmp_path, gz):
+    """Zip-member manifest paths + .jsonl.gz manifests: segments load with
+    the same shapes/values as a loose-file corpus, through both the python
+    path and the native-loader path (which falls back per-row for zip
+    members it cannot parse natively)."""
+    mf = _zip_manifest(tmp_path, [dict(duration=0.5), dict(duration=1.0)],
+                       gz=gz)
+    ds = AudioSegmentDataset(mf, TINY, segment_duration=0.25, seed=7)
+    assert len(ds) == 2
+    seg = ds.sample_segment()
+    assert seg.shape == (ds.segment_samples,) and np.isfinite(seg).all()
+    assert float(np.abs(seg).max()) > 0
+    batches = list(ds.batches(batch_size=3, num_batches=2))
+    assert all(b.shape == (3, ds.segment_samples, 1) for b in batches)
+    # native-loader path: zip rows are unparseable natively and must come
+    # back through the python fallback, not zeros/garbage
+    ds_n = AudioSegmentDataset(mf, TINY, segment_duration=0.25, seed=7,
+                               loader_threads=2)
+    (b,) = list(ds_n.batches(batch_size=4, num_batches=1))
+    assert b.shape == (4, ds_n.segment_samples, 1)
+    assert np.isfinite(b).all() and (np.abs(b).max(axis=1) > 0).all()
+
+
+def test_zip_handle_pool_caps_open_handles(tmp_path):
+    """set_zip_cache_size evicts (and closes) LRU zipfile handles."""
+    import zipfile
+
+    from ssr_speech_tpu.utils.audio import (
+        _zip_pool, read_wav, set_zip_cache_size)
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(4):
+        zpath = str(tmp_path / f"p{i}.zip")
+        loose = tmp_path / f"w{i}.wav"
+        audio_io.write_wav(str(loose),
+                           (rng.normal(size=(1, 64)) * 0.1).astype(np.float32),
+                           TINY.sample_rate)
+        with zipfile.ZipFile(zpath, "w") as zf:
+            zf.write(str(loose), "w.wav")
+        paths.append(f"{zpath}:w.wav")
+    set_zip_cache_size(2)
+    try:
+        for p in paths:
+            wav, sr = read_wav(p)
+            assert sr == TINY.sample_rate and wav.shape[-1] == 64
+        assert len(_zip_pool) <= 2
+        wav2, _ = read_wav(paths[0])  # reopen after eviction
+        np.testing.assert_array_equal(wav2, read_wav(paths[0])[0])
+    finally:
+        set_zip_cache_size(32)
+
+
+@pytest.mark.slow
+def test_codec_gan_smoke_from_zip_corpus(tmp_path):
+    """train_codec consumes a zip-archived corpus end-to-end (round-4
+    VERDICT item 7 'Done' bar)."""
+    from ssr_speech_tpu import train_codec as tc
+
+    mf = _zip_manifest(tmp_path, [dict(duration=1.0), dict(duration=1.0)])
+    import dataclasses
+
+    cfg_json = str(tmp_path / "cfg.json")
+    with open(cfg_json, "w") as f:
+        json.dump(dataclasses.asdict(TINY), f)
+    tc.main([
+        "--manifest", mf, "--exp_dir", str(tmp_path / "exp"),
+        "--batch_size", "2", "--segment_duration", "0.25",
+        "--updates", "2", "--epochs", "1", "--save_every", "2",
+        "--eval_every", "1000", "--config_json", cfg_json,
+    ])
+    assert (tmp_path / "exp" / "codec_bundle.pkl").exists()
+
+
 @pytest.mark.slow
 def test_codec_gan_smoke_from_weighted_manifest(tmp_path):
     """train_codec runs end-to-end on a weighted manifest with the sampling
