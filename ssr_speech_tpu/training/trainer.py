@@ -414,10 +414,28 @@ class Trainer:
             model_config=dataclasses.asdict(self.cfg),
             train_config=dataclasses.asdict(self.tcfg),
             phn2num=self.phn2num,
+            # dropout stream state: resume continues the stream instead of
+            # restarting it from the constructor seed (rng_impl recorded so
+            # a mismatched --rng_impl at resume fails loudly, not silently).
+            # threefry runs hold a raw uint32 key; typed keys unwrap first.
+            rng_state=np.asarray(
+                self.rng if self.rng.dtype == jnp.uint32
+                else jax.random.key_data(self.rng)),
+            rng_impl=self.tcfg.rng_impl,
         )
 
     def load_bundle(self, path: str, load_optimizer: bool = True):
         bundle = ckpt.load_bundle(path)
+        if bundle.get("rng_state") is not None:
+            saved_impl = bundle.get("rng_impl", "threefry2x32")
+            if saved_impl != self.tcfg.rng_impl:
+                raise ValueError(
+                    f"bundle was trained with rng_impl={saved_impl!r} but "
+                    f"this run uses {self.tcfg.rng_impl!r}; pass the same "
+                    "--rng_impl to resume the dropout stream")
+            data = jnp.asarray(bundle["rng_state"])
+            self.rng = (data if saved_impl == "threefry2x32"
+                        else jax.random.wrap_key_data(data, impl=saved_impl))
         self.params = jax.tree.map(jnp.asarray, bundle["params"])
         if load_optimizer and bundle.get("opt_state") is not None:
             self.opt_state = jax.tree.unflatten(

@@ -171,6 +171,9 @@ def test_convert_strict_flags_unconsumed_keys(tmp_path):
 
 # ---------------------------------------------------------- real-weight gate
 
+# live_deps: these prove the PUBLISHED weights (wmencodec.th / English.pth)
+# the moment they are reachable — part of the opt-in live-backend gate
+# (pytest -m live_deps, README "Live-backend tests")
 needs_goldens = pytest.mark.skipif(
     not os.path.isfile(os.path.join(GOLDEN_DIR, "parity_report.json")),
     reason="pretrained goldens not captured (run tools/capture_goldens.py "
@@ -178,6 +181,7 @@ needs_goldens = pytest.mark.skipif(
 )
 
 
+@pytest.mark.live_deps
 @needs_goldens
 def test_pretrained_parity_report_all_ok():
     with open(os.path.join(GOLDEN_DIR, "parity_report.json")) as f:
@@ -186,6 +190,7 @@ def test_pretrained_parity_report_all_ok():
     assert not bad, bad
 
 
+@pytest.mark.live_deps
 @needs_goldens
 def test_pretrained_codec_roundtrip_replay():
     """Replay the codec round-trip from the stored wav/codes without torch:

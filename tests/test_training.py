@@ -493,6 +493,19 @@ def test_trainer_end_to_end_loop(tmp_path):
                   phn2num=ds.phn2num, exp_dir=dcfg.exp_dir)
     tr2.load_bundle(os.path.join(dcfg.exp_dir, "bundle.pkl"))
     assert tr2.progress["step"] >= 4
+    # the dropout stream resumes where the run left off, not from the seed
+    np.testing.assert_array_equal(np.asarray(tr2.rng), np.asarray(tr.rng))
+    assert not np.array_equal(
+        np.asarray(tr2.rng),
+        np.asarray(jax.random.split(jax.random.PRNGKey(tcfg.seed))[0]))
+    # a mismatched --rng_impl at resume fails loudly
+    import dataclasses as _dc
+
+    import pytest as _pytest
+    tr3 = Trainer(CFG, _dc.replace(tcfg, rng_impl="rbg"), prefetch(tb),
+                  lambda: vb(0), phn2num=ds.phn2num, exp_dir=dcfg.exp_dir)
+    with _pytest.raises(ValueError, match="rng_impl"):
+        tr3.load_bundle(os.path.join(dcfg.exp_dir, "bundle.pkl"))
 
 
 def test_prefetch_iterator():
