@@ -102,6 +102,11 @@ class SSRModelConfig:
     # is flash); "mixed" leaves every other unrolled layer un-rematted
     # (between "dots" and "none" in memory); "none" saves everything
     remat: str = "full"  # full | dots | mixed | none
+    # training CE head: "unfused" materializes the [B,S,K,card] logits
+    # (bit-locked numerics); "fused" runs the blocked Pallas CE kernel
+    # (second head matmul + log-softmax + top-10 fused in VMEM —
+    # ops/fused_ce.py). Decode paths are unaffected.
+    ce_impl: str = "unfused"  # unfused | fused
 
     @property
     def text_pad_token(self) -> int:

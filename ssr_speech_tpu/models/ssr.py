@@ -165,10 +165,6 @@ def ssr_loss_from_hidden(
     sy = y.shape[1]
     K = cfg.n_codebooks
     ts = cfg.tokens
-    logits = predict_logits(params, y_out, dtype=head_dtype)  # [B, Sy, K, card]
-
-    # next-token objective: predict y[t+1] from position t
-    logits = logits[:, :-1]  # [B, Sy-1, K, C]
     targets = y[:, 1:]  # [B, Sy-1, K]
     valid = ~make_pad_mask(y_lens, sy)[:, 1:]  # target positions within length
 
@@ -184,10 +180,40 @@ def ssr_loss_from_hidden(
         last_mts = jnp.max(jnp.where(is_mts, pos, -1), axis=1, keepdims=True)
         tmp_masks = masks & (pos >= last_mts)
 
-    logf = logits.astype(jnp.float32)
-    logz = jax.nn.logsumexp(logf, axis=-1)
-    tgt_logit = jnp.take_along_axis(logf, targets[..., None], axis=-1)[..., 0]
-    nll = logz - tgt_logit  # [B, S-1, K]
+    if cfg.ce_impl == "fused":
+        # blocked Pallas CE: fp32 logits never leave VMEM (ops/fused_ce.py)
+        from ..ops import fused_ce
+
+        b, sm1 = targets.shape[0], targets.shape[1]
+        dt = head_dtype
+        w1 = params["head1_w"].astype(dt)
+        hid = jax.nn.gelu(
+            jnp.einsum("bsd,kdh->bskh", y_out[:, :-1].astype(dt), w1)
+            + params["head1_b"].astype(dt), approximate=False)
+        rows = jnp.transpose(hid, (2, 0, 1, 3)).reshape(K, b * sm1, -1)
+        tgt_rows = jnp.transpose(targets, (2, 0, 1)).reshape(K, b * sm1)
+        nll_k, hit_k = fused_ce.fused_ce_head(
+            rows, params["head2_w"].astype(dt), params["head2_b"].astype(dt),
+            tgt_rows.astype(jnp.int32))
+        nll = jnp.transpose(nll_k.reshape(K, b, sm1), (1, 2, 0))
+        hit = jnp.transpose(hit_k.reshape(K, b, sm1), (1, 2, 0))
+    else:
+        logits = predict_logits(params, y_out, dtype=head_dtype)
+        logits = logits[:, :-1]  # [B, Sy-1, K, C]
+        logf = logits.astype(jnp.float32)
+        logz = jax.nn.logsumexp(logf, axis=-1)
+        tgt_logit = jnp.take_along_axis(
+            logf, targets[..., None], axis=-1)[..., 0]
+        nll = logz - tgt_logit  # [B, S-1, K]
+        # top-10 accuracy per codebook (reference models/ssr.py:181-189,361).
+        # Rank-by-counting instead of lax.top_k: "target is in the top 10"
+        # iff fewer than 10 logits strictly exceed it — one fused
+        # compare+reduce over the vocab axis instead of a [*, 2056] sort
+        # (ties at the exact target logit, measure-zero for continuous
+        # logits, count as hits).
+        rank = jnp.sum((logf > tgt_logit[..., None]).astype(jnp.float32),
+                       axis=-1)
+        hit = (rank < 10.0).astype(jnp.float32)
 
     sel = tmp_masks.astype(jnp.float32)
     ce_sum = jnp.sum(nll * sel, axis=(0, 1))  # [K]
@@ -200,14 +226,6 @@ def ssr_loss_from_hidden(
     else:
         cw = jnp.asarray(codebook_weight, jnp.float32)
     loss = jnp.sum(ce_mean * ntokens * cw)
-
-    # top-10 accuracy per codebook (reference models/ssr.py:181-189,361).
-    # Rank-by-counting instead of lax.top_k: "target is in the top 10" iff
-    # fewer than 10 logits strictly exceed it — one fused compare+reduce over
-    # the vocab axis instead of a [*, 2056] sort (ties at the exact target
-    # logit, measure-zero for continuous logits, count as hits).
-    rank = jnp.sum((logf > tgt_logit[..., None]).astype(jnp.float32), axis=-1)
-    hit = (rank < 10.0).astype(jnp.float32)
     acc_k = jnp.sum(hit * sel, axis=(0, 1)) / sel_cnt
 
     return dict(

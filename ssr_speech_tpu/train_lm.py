@@ -126,6 +126,13 @@ def build_parser():
                    choices=["full", "dots", "dots_masks", "mixed", "none"],
                    help="layer rematerialization policy (docs/DESIGN.md); "
                         "default: dots_masks with flash attention, else full")
+    p.add_argument("--ce_impl", default="unfused",
+                   choices=["unfused", "fused"],
+                   help="CE head: fused = blocked Pallas kernel (second "
+                        "head matmul + log-softmax + top-10 in VMEM, fp32 "
+                        "logits never reach HBM — ops/fused_ce.py). Measured "
+                        "NEUTRAL at the 830M flagship point (ab_ce A/B, "
+                        "BENCHMARKS.md), so the default stays unfused")
     p.add_argument("--rng_impl", default=None,
                    choices=["threefry2x32", "rbg"],
                    help="dropout PRNG: rbg = TPU hardware RngBitGenerator "
@@ -187,7 +194,7 @@ def main(argv=None):
         text_vocab_size=args.text_vocab_size,
         tokens=TokenSpace(audio_vocab_size=args.audio_vocab_size,
                           max_n_spans=args.max_n_spans),
-        attn_impl=attn_impl, remat=remat,
+        attn_impl=attn_impl, remat=remat, ce_impl=args.ce_impl,
         trm_dropout=args.trm_dropout,
         text_embedding_dropout=args.text_embedding_dropout,
         audio_embedding_dropout=args.audio_embedding_dropout,

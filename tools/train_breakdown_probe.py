@@ -70,7 +70,8 @@ def main(phase, remat):
     cfg = SSRModelConfig(d_model=2048, nhead=16, num_layers=16, n_codebooks=4,
                          text_vocab_size=120,
                          attn_impl=os.environ.get("PROBE_ATTN", "flash"),
-                         remat=remat)
+                         remat=remat,
+                         ce_impl=os.environ.get("PROBE_CE", "unfused"))
     tcfg = TrainConfig(precision="bfloat16",
                        optim=OptimConfig(
                            optimizer_name="scaledadam", clipping_scale=2.0,
@@ -252,6 +253,86 @@ def main(phase, remat):
                                       jax.random.fold_in(key, g * per + i))
                 float(m["loss"])
                 best[name] = min(best[name], (time.time() - t0) / per)
+        S = sx + sy
+        flops = 6 * n_params * B * S + 12 * B * S * S * 2048
+        for name, t in best.items():
+            log(f"[{name}] STEP {t*1000:7.1f} ms  "
+                f"({B*sy/t:.0f} codec tok/s, MFU {flops/t/197e12*100:.1f}%)")
+    elif phase == "ce_check":
+        # fused_ce Pallas kernels vs the jnp reference at production head
+        # geometry: forward values and VJP cotangents (hidden/w2/b2).
+        from ssr_speech_tpu.ops import fused_ce
+
+        K, Nrows, Hh, C = 4, 2 * 1280, 1024, cfg.cardinality
+        kr = jax.random.PRNGKey(0)
+        k1, k2, k3, k4, k5 = jax.random.split(kr, 5)
+        hid = (jax.random.normal(k1, (K, Nrows, Hh)) * 0.3).astype(jnp.bfloat16)
+        w2 = (jax.random.normal(k2, (K, Hh, C)) * 0.02).astype(jnp.bfloat16)
+        b2 = (jax.random.normal(k3, (K, C)) * 0.01).astype(jnp.bfloat16)
+        tgt = jax.random.randint(k4, (K, Nrows), 0, C)
+        g = jax.random.normal(k5, (K, Nrows))
+
+        def run(h, w, b):
+            return fused_ce.fused_ce_head(h, w, b, tgt)
+
+        (nll_k, hit_k), vjp_k = jax.vjp(run, hid, w2, b2)
+        dh_k, dw_k, db_k = vjp_k((g, jnp.zeros_like(g)))
+        nll_r, hit_r = fused_ce.reference_ce_head(hid, w2, b2, tgt)
+
+        def run_ref(h, w, b):
+            return fused_ce.reference_ce_head(h, w, b, tgt)[0]
+
+        _, vjp_r = jax.vjp(run_ref, hid, w2, b2)
+        dh_r, dw_r, db_r = vjp_r(g)
+        rel = lambda a, b: float(jnp.max(jnp.abs(a - b))
+                                 / (jnp.max(jnp.abs(b)) + 1e-30))
+        log(f"nll rel {rel(nll_k, nll_r):.2e}  hits mismatch "
+            f"{float(jnp.mean(hit_k != hit_r)):.2e}")
+        log(f"dhid rel {rel(dh_k.astype(jnp.float32), dh_r.astype(jnp.float32)):.2e}  "
+            f"dw2 rel {rel(dw_k, dw_r):.2e}  db2 rel {rel(db_k, db_r):.2e}")
+    elif phase == "ab_ce":
+        # unfused vs fused (blocked Pallas) CE head through the FULL
+        # production step (attn from PROBE_ATTN default splash, remat argv
+        # default dots_masks), interleaved min-of-groups in ONE process.
+        variants = {}
+        for impl in ("unfused", "fused"):
+            vcfg = SSRModelConfig(
+                d_model=2048, nhead=16, num_layers=16, n_codebooks=4,
+                text_vocab_size=120, attn_impl=cfg.attn_impl, remat=remat,
+                ce_impl=impl)
+            variants[impl] = (vcfg, make_train_step(vcfg, tcfg, opt))
+        key = jax.random.key(1, impl=os.environ.get("PROBE_RNG", "rbg"))
+        losses = {}
+        for name, (vcfg, _) in variants.items():
+            losses[name] = float(jax.jit(
+                lambda p, b, r, c=vcfg: ssr_model.ssr_forward(
+                    p, c, b, deterministic=True, rng=r,
+                    compute_dtype=jnp.bfloat16, unroll=True,
+                    remat=remat)["loss"])(params, batch, key))
+        rel = abs(losses["unfused"] - losses["fused"]) / abs(losses["unfused"])
+        log(f"bare loss unfused {losses['unfused']:.4f} fused "
+            f"{losses['fused']:.4f} rel diff {rel:.2e}")
+        jax.clear_caches()  # drop the bare-fwd executables before the steps
+        # NOTE: needs PROBE_MOMENTS=bfloat16 at B=8 — with fp32 moments a
+        # single 830M step is 18.9 GB (9.4 args + 9.3 temp) > 15.75 HBM
+        opt_state = opt.init(params)
+        p2, s2 = params, opt_state
+        for name, (_, stepf) in variants.items():
+            p2, s2, m = stepf(p2, s2, batch, key)  # compile both
+            float(m["loss"])
+            log(f"compiled {name}")
+        groups, per = 4, 5
+        best = {name: float("inf") for name in variants}
+        for g in range(groups):
+            for name, (_, stepf) in variants.items():
+                t0 = time.time()
+                for i in range(per):
+                    p2, s2, m = stepf(p2, s2, batch,
+                                      jax.random.fold_in(key, g * per + i))
+                float(m["loss"])
+                best[name] = min(best[name], (time.time() - t0) / per)
+                log(f"group {g} {name}: "
+                    f"{(time.time() - t0) / per * 1000:.1f} ms")
         S = sx + sy
         flops = 6 * n_params * B * S + 12 * B * S * S * 2048
         for name, t in best.items():

@@ -45,23 +45,43 @@ N_TRACE = 3
 
 
 def categorize(name: str) -> str:
-    """Map a TensorCore event name to a coarse cost category."""
+    """Map a TensorCore event name to a coarse cost category.
+
+    Event names are full HLO instruction texts
+    (``%lhs_name = type[shape]{layout} opcode(%operand1, ...)``), so naive
+    substring checks mis-attribute: a fusion CONSUMING a ``%copy-done.N``
+    operand is not a copy (this bug inflated the r4 'copies'/'CE' slices).
+    Classify on the lhs name + the opcode only."""
     n = name.lower()
-    if "custom-call" in n or "flash" in n or "tpu_custom_call" in n:
-        return "flash-attention kernel"
-    if n.startswith("copy") or ".copy" in n or "copy-start" in n or "copy-done" in n:
+    lhs, _, rest = n.partition(" = ")
+    lhs = lhs.lstrip("%")
+    m = re.search(r"[\]}]\s*([a-z][a-z0-9_-]*)\(", rest)
+    opcode = m.group(1) if m else rest.split("(")[0].strip()
+    if opcode in ("custom-call", "tpu_custom_call") or (
+            opcode == "fusion" and ("flash" in lhs or "splash" in lhs
+                                    or "pallas" in lhs)):
+        return "pallas kernel (attn/CE)"
+    if "flash" in lhs or "splash" in lhs:
+        return "pallas kernel (attn/CE)"
+    if opcode.startswith("copy") or lhs.startswith("copy"):
         return "copies"
-    if "dynamic-update-slice" in n:
+    if "dynamic-update-slice" in opcode or lhs.startswith(
+            "dynamic-update-slice"):
         return "dynamic-update-slice"
-    if "rng" in n:
+    if "rng" in opcode or lhs.startswith("rng"):
         return "rng"
-    if "all-reduce" in n or "all-gather" in n or "reduce-scatter" in n:
+    if opcode in ("all-reduce", "all-gather", "reduce-scatter",
+                  "collective-permute"):
         return "collectives"
-    if "convolution" in n or re.search(r"\bdot\b", n) or n.startswith("dot"):
+    if opcode in ("convolution", "dot"):
         return "bare matmul"
-    if "fusion" in n:
-        return "fusion"
-    if "infeed" in n or "outfeed" in n:
+    if opcode == "fusion":
+        # split matmul-bearing fusions from pure elementwise ones: XLA names
+        # output fusions after their root + key interior ops
+        if "convolution" in lhs or "dot" in lhs:
+            return "matmul fusion"
+        return "elementwise fusion"
+    if "infeed" in opcode or "outfeed" in opcode:
         return "in/outfeed"
     return "other"
 
@@ -74,7 +94,8 @@ def main():
         d_model=2048, nhead=16, num_layers=16, n_codebooks=4,
         text_vocab_size=120,
         attn_impl=os.environ.get("PROBE_ATTN", "flash"),
-        remat=os.environ.get("PROBE_REMAT", "dots_masks"))
+        remat=os.environ.get("PROBE_REMAT", "dots_masks"),
+        ce_impl=os.environ.get("PROBE_CE", "unfused"))
     tcfg = TrainConfig(precision="bfloat16",
                        optim=OptimConfig(optimizer_name="scaledadam",
                                          clipping_scale=2.0,
