@@ -351,7 +351,19 @@ class ContinuousBatcher:
 
     def _fill_slot(self, slot: int, req_idx: int, x, y, mask, trim: int = 0,
                    pre=None):
-        new_pfx, new_banned, meta = self._prefill_request(x, y, mask, pre=pre)
+        self._splice_slot(slot, req_idx,
+                          self._prefill_request(x, y, mask, pre=pre),
+                          trim=trim)
+
+    def _splice_slot(self, slot: int, req_idx: int, staged, trim: int = 0):
+        """Splice an already-prefilled request (``staged`` =
+        :meth:`_prefill_request`'s result) into a free lane. Splitting
+        prefill from splice lets the serving loops run the prefill EAGERLY —
+        dispatched behind the in-flight decode chunk, where its host prep and
+        device time hide — so a freed lane pays only this sub-ms donated
+        update before the next chunk dispatches (the measured ~7 ms lane
+        refill, BENCHMARKS.md "Online serving")."""
+        new_pfx, new_banned, meta = staged
         meta["req_idx"] = req_idx
         meta["trim"] = trim
         self._slot_req[slot] = meta
@@ -395,11 +407,14 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------- API
 
     def run(self, requests: Sequence[Tuple], rng: Optional[jax.Array] = None,
-            progress=None):
+            progress=None, eager_prefill: int = 1):
         """Serve ``requests`` (each ``(x, y, mask_intervals)``, the
         :func:`decode.generate` contract) FIFO through the slot pool; returns
         results in request order (each ``(codes, marks, out_intervals, nm)``).
-        ``progress``: optional callable(completed, total, steps)."""
+        ``progress``: optional callable(completed, total, steps).
+        ``eager_prefill``: how many pending requests to prefill behind each
+        in-flight chunk (0 disables; fill order — and thus greedy results —
+        is FIFO either way)."""
         if rng is not None:
             self.state = self.state._replace(key=rng)
         norm = [self._normalize(r) for r in requests]
@@ -407,15 +422,30 @@ class ContinuousBatcher:
         # are reused at fill time instead of being rebuilt per slot
         vals = [self.validate_request(x, y, mask) for x, y, mask, _ in norm]
         pending = deque(zip(range(len(norm)), norm, vals))
+        staged: deque = deque()  # (idx, _prefill_request result, trim)
         results: List = [None] * len(requests)
         n_done = 0
+
+        def next_fill(slot: int) -> None:
+            if staged:
+                nidx, st, trim = staged.popleft()
+                self._splice_slot(slot, nidx, st, trim=trim)
+            else:
+                nidx, (x, y, mask, trim), pre = pending.popleft()
+                self._fill_slot(slot, nidx, x, y, mask, trim, pre=pre)
+
         for slot in range(self.S):
             if not pending:
                 break
-            idx, (x, y, mask, trim), pre = pending.popleft()
-            self._fill_slot(slot, idx, x, y, mask, trim, pre=pre)
+            next_fill(slot)
         while True:
             self._run_chunk(2**30)
+            # the chunk runs until a lane finishes; prefill the next
+            # request(s) NOW so the freed lane pays only the splice
+            while pending and len(staged) < eager_prefill:
+                nidx, (x, y, mask, trim), pre = pending.popleft()
+                staged.append(
+                    (nidx, self._prefill_request(x, y, mask, pre=pre), trim))
             harvestable = np.asarray(self.state.active & self.state.done)
             if not harvestable.any():
                 break
@@ -423,9 +453,8 @@ class ContinuousBatcher:
                 idx, result = self._harvest_slot(int(slot))
                 results[idx] = result
                 n_done += 1
-                if pending:
-                    nidx, (x, y, mask, trim), pre = pending.popleft()
-                    self._fill_slot(int(slot), nidx, x, y, mask, trim, pre=pre)
+                if staged or pending:
+                    next_fill(int(slot))
                 else:
                     self.state = self.state._replace(
                         active=self.state.active.at[int(slot)].set(False))
@@ -437,7 +466,7 @@ class ContinuousBatcher:
 
     def run_online(self, requests: Sequence[Tuple], arrival_times,
                    rng: Optional[jax.Array] = None, clock=None,
-                   chunk_steps: int = 64):
+                   chunk_steps: int = 64, eager_prefill: int = 1):
         """Serve requests that ARRIVE OVER TIME (the regime this server is
         for): each request becomes eligible at ``arrival_times[i]`` seconds
         after the call and is spliced into the first free lane — no batch
@@ -460,30 +489,44 @@ class ContinuousBatcher:
         t0 = clock()
         order = sorted(range(len(requests)), key=lambda i: arrival_times[i])
         pending = deque((i, norm[i], vals[i]) for i in order)
+        staged: deque = deque()  # (idx, _prefill_request result, trim)
         results: List = [None] * len(requests)
         done_at = [None] * len(requests)
 
         def fill_free_slots():
-            # occupy every inactive lane with an arrived request
+            # occupy every inactive lane: staged (already prefilled) first,
+            # then arrived pending requests — FIFO either way
             active = np.array(self.state.active)  # mutable host copy
             for slot in range(self.S):
-                if not pending or active[slot]:
+                if active[slot]:
                     continue
-                idx, req, pre = pending[0]
-                if arrival_times[idx] > clock() - t0:
-                    break  # FIFO: head hasn't arrived yet
-                pending.popleft()
-                self._fill_slot(slot, idx, *req, pre=pre)
+                if staged:
+                    idx, st, trim = staged.popleft()
+                    self._splice_slot(slot, idx, st, trim=trim)
+                elif pending and arrival_times[pending[0][0]] <= clock() - t0:
+                    idx, req, pre = pending.popleft()
+                    self._fill_slot(slot, idx, *req, pre=pre)
+                else:
+                    break  # FIFO: head hasn't arrived yet (or nothing left)
                 active[slot] = True
 
-        while pending or np.asarray(self.state.active).any():
-            if not np.asarray(self.state.active).any() and pending:
+        while pending or staged or np.asarray(self.state.active).any():
+            if (not np.asarray(self.state.active).any() and not staged
+                    and pending):
                 # idle: sleep until the next arrival
                 wait = arrival_times[pending[0][0]] - (clock() - t0)
                 if wait > 0:
                     _time.sleep(wait)
             fill_free_slots()
             self._run_chunk(chunk_steps)
+            # eager prefill: while the chunk decodes, prefill the next
+            # ARRIVED request(s) so a lane freed at harvest pays only the
+            # splice before the next chunk (not the ~7 ms prefill)
+            while (pending and len(staged) < eager_prefill
+                   and arrival_times[pending[0][0]] <= clock() - t0):
+                idx, (x, y, mask, trim), pre = pending.popleft()
+                staged.append(
+                    (idx, self._prefill_request(x, y, mask, pre=pre), trim))
             harvestable = np.asarray(self.state.active & self.state.done)
             now = clock() - t0
             for slot in np.nonzero(harvestable)[0]:

@@ -356,12 +356,16 @@ class StreamingServer:
         clock=None,
         should_stop=None,
         on_idle=None,
+        eager_prefill: int = 1,
     ):
         """Open-ended serving engine: pull requests forever, stream chunks.
 
         ``poll()`` → ``(req_id, prepared)`` with ``prepared`` from
         :meth:`prepare_request`, or ``None`` when nothing is pending right
-        now (it is called only when a lane is free). ``on_chunk(req_id,
+        now (with ``eager_prefill`` > 0 — the default — it may be called
+        while every lane is busy, to prefill the next request behind the
+        in-flight chunk; a polled request is committed and served FIFO).
+        ``on_chunk(req_id,
         codes [K,f], wav [f*hop, ch], t)`` fires per emitted chunk;
         ``on_done(req_id, codes [K,T], wav, first_at, t)`` fires once per
         request with the concatenated stream (``t``/``first_at`` are seconds
@@ -388,6 +392,21 @@ class StreamingServer:
             on_idle = lambda now: _time.sleep(0.005)
         t0 = clock()
         lanes: List[Optional[_Lane]] = [None] * S
+        # eager prefill: requests polled + prefilled behind an in-flight LM
+        # chunk, so a freed lane pays only the splice (``poll`` may thus be
+        # called while every lane is busy; a staged request is committed to
+        # this engine and is filled FIFO before newly polled ones)
+        staged: deque = deque()  # (req_id, _prefill_request result, y_prompt)
+
+        def stage_pending():
+            while len(staged) < eager_prefill:
+                item = poll()
+                if item is None:
+                    return
+                req_id, (x, y_prompt, mask, pre) = item
+                staged.append(
+                    (req_id, srv._prefill_request(x, y_prompt, mask, pre=pre),
+                     y_prompt))
 
         def fill_free_lanes():
             reset_mask = np.zeros((S,), bool)
@@ -395,11 +414,15 @@ class StreamingServer:
             for slot in range(S):
                 if lanes[slot] is not None:
                     continue
-                item = poll()
-                if item is None:
-                    break
-                req_id, (x, y_prompt, mask, pre) = item
-                srv._fill_slot(slot, req_id, x, y_prompt, mask, pre=pre)
+                if staged:
+                    req_id, st, y_prompt = staged.popleft()
+                else:
+                    item = poll()
+                    if item is None:
+                        break
+                    req_id, (x, y_prompt, mask, pre) = item
+                    st = srv._prefill_request(x, y_prompt, mask, pre=pre)
+                srv._splice_slot(slot, req_id, st)
                 warms.append((slot, req_id, y_prompt))
                 reset_mask[slot] = True
             if reset_mask.any():
@@ -425,6 +448,10 @@ class StreamingServer:
             refs = (jnp.copy(srv.state.done), jnp.copy(srv.state.out_len),
                     jnp.copy(srv.state.out))
             srv._run_chunk(F)
+            if eager_prefill:
+                # the LM chunk occupies the device: prefill the next pending
+                # request(s) now — host prep + device prefill hide behind it
+                stage_pending()
             done_h, len_h, out_h = jax.device_get(refs)
             for slot in range(S):
                 lane = lanes[slot]
@@ -469,6 +496,7 @@ class StreamingServer:
         on_chunk=None,
         rng: Optional[jax.Array] = None,
         clock=None,
+        eager_prefill: int = 1,
     ):
         """Serve TTS requests (each ``(x, y_prompt)``) arriving at
         ``arrival_times`` seconds after the call; each request's waveform is
@@ -529,5 +557,6 @@ class StreamingServer:
             clock=loop_clock,
             should_stop=lambda: not pending,
             on_idle=on_idle,
+            eager_prefill=eager_prefill,
         )
         return results, first_at, done_at

@@ -145,3 +145,30 @@ def test_oversized_request_rejected_before_decoding(params):
     assert not np.asarray(server.state.active).any()  # nothing started
     results = server.run(ok, jax.random.PRNGKey(0))
     assert all(r is not None for r in results)
+
+
+def test_eager_prefill_off_matches_on(params):
+    """Eager prefill staging (prefill dispatched behind the in-flight chunk)
+    must be a pure latency optimization: identical greedy results and fill
+    order with eager_prefill=0 and =2, online and offline."""
+    dec = _greedy_dec(False)
+    reqs = _requests(6)
+
+    def fresh():
+        return serve.ContinuousBatcher(params, CFG, dec, 2, sx_pad=64,
+                                       p_pad=128, num_task=2,
+                                       dtype_name="float32")
+
+    off = fresh().run(reqs, jax.random.PRNGKey(0), eager_prefill=0)
+    on = fresh().run(reqs, jax.random.PRNGKey(0), eager_prefill=2)
+    arrivals = [0.0, 0.0, 0.005, 0.005, 0.01, 0.01]
+    off_o, _ = fresh().run_online(reqs, arrivals, jax.random.PRNGKey(0),
+                                  chunk_steps=7, eager_prefill=0)
+    on_o, _ = fresh().run_online(reqs, arrivals, jax.random.PRNGKey(0),
+                                 chunk_steps=7, eager_prefill=2)
+    for a, b in zip(off, on):
+        np.testing.assert_array_equal(a[0], b[0])
+        assert a[2] == b[2] and a[3] == b[3]
+    for a, b in zip(off_o, on_o):
+        np.testing.assert_array_equal(a[0], b[0])
+        assert a[2] == b[2] and a[3] == b[3]

@@ -192,6 +192,38 @@ def test_tp_streaming_server_matches_single(models):
         np.testing.assert_allclose(w0, w1, atol=2e-5, rtol=1e-4)
 
 
+def test_streaming_server_eager_prefill_parity(models):
+    """Eager prefill staging (the next request prefilled behind the
+    in-flight LM chunk) must not change any stream: identical codes, wavs,
+    and fill order with eager_prefill=0 and =1."""
+    lm, codec = models
+    rng = np.random.default_rng(13)
+    ts = CFG.tokens
+    dec_cfg = DecodeConfig(top_k=1, top_p=1.0, stop_repetition=-1,
+                           cfg_coef=1.0, cfg_stride=1, aug_text=False,
+                           cfg_pretrained=True, max_gen_per_span=60,
+                           length_cap_mult=10)
+    reqs = []
+    for T, sx in [(16, 24), (24, 30), (20, 26), (18, 22)]:
+        y = rng.integers(0, ts.audio_vocab_size, size=(CFG.n_codebooks, T))
+        x = rng.integers(0, CFG.text_vocab_size - 1, size=(sx,))
+        reqs.append((x, y))
+
+    def run(eager):
+        server = stream.StreamingServer(lm, CFG, dec_cfg, codec, CODEC, 2,
+                                        chunk_frames=10, sx_pad=64, p_pad=64,
+                                        dtype_name="float32", warm_chunk=8)
+        return server.run_online(reqs, [0.0, 0.0, 0.01, 0.01],
+                                 rng=jax.random.PRNGKey(0),
+                                 eager_prefill=eager)
+
+    res0, _, _ = run(0)
+    res1, _, _ = run(1)
+    for (c0, w0), (c1, w1) in zip(res0, res1):
+        np.testing.assert_array_equal(c0, c1)
+        np.testing.assert_allclose(w0, w1, atol=1e-6)
+
+
 def test_streaming_server_empty_prompt(models):
     """A zero-frame prompt (TTS job whose mask starts at frame 0, i.e. the
     target replaces everything) streams fine and matches the offline

@@ -64,22 +64,27 @@ log(f"capacity: {frames_total} frames in {el:.2f}s -> "
     f"{cap_fps:.0f} frames/s aggregate ({cap_fps/50:.1f}x RT), "
     f"{cap_rps:.2f} req/s")
 
-# phase 2: Poisson arrivals at 60% capacity
+# phase 2: Poisson arrivals at 60% capacity, eager prefill A/B (staging the
+# next arrived request's prefill behind the in-flight LM chunk vs prefilling
+# only when a lane frees)
 N = 24
 lam = 0.6 * cap_rps
 gaps = np.random.default_rng(7).exponential(1.0 / lam, size=N)
 arrivals = np.concatenate([[0.0], np.cumsum(gaps)[:-1]])
 reqs = [make_req(100 + i) for i in range(N)]
-t0 = time.time()
-res, first, done = server.run_online(reqs, list(arrivals),
-                                     rng=jax.random.PRNGKey(2))
-el = time.time() - t0
-ttfa = np.array([f - a for f, a in zip(first, arrivals)])
-lat = np.array([d - a for d, a in zip(done, arrivals)])
-frames_total = sum(r[0].shape[1] for r in res)
-log(f"online: {N} reqs in {el:.1f}s at lambda={lam:.2f}/s (60% cap); "
-    f"{frames_total/50:.0f}s audio -> {frames_total/50/el:.1f}x RT agg")
-log(f"TTFA ms: p50 {np.percentile(ttfa,50)*1e3:.0f} "
-    f"p95 {np.percentile(ttfa,95)*1e3:.0f} max {ttfa.max()*1e3:.0f}")
-log(f"completion s: p50 {np.percentile(lat,50):.2f} "
-    f"p95 {np.percentile(lat,95):.2f}")
+for eager in (0, 1, 0, 1):  # alternate to cancel drift; best-of per arm
+    t0 = time.time()
+    res, first, done = server.run_online(reqs, list(arrivals),
+                                         rng=jax.random.PRNGKey(2),
+                                         eager_prefill=eager)
+    el = time.time() - t0
+    ttfa = np.array([f - a for f, a in zip(first, arrivals)])
+    lat = np.array([d - a for d, a in zip(done, arrivals)])
+    frames_total = sum(r[0].shape[1] for r in res)
+    log(f"online eager={eager}: {N} reqs in {el:.1f}s at lambda={lam:.2f}/s "
+        f"(60% cap); {frames_total/50:.0f}s audio -> "
+        f"{frames_total/50/el:.1f}x RT agg")
+    log(f"  TTFA ms: p50 {np.percentile(ttfa,50)*1e3:.0f} "
+        f"p95 {np.percentile(ttfa,95)*1e3:.0f} max {ttfa.max()*1e3:.0f}")
+    log(f"  completion s: p50 {np.percentile(lat,50):.2f} "
+        f"p95 {np.percentile(lat,95):.2f}")
