@@ -125,12 +125,14 @@ def conv1d(
         right = padding_total // 2
         left = padding_total - right
         x = _pad1d(x, left, right + extra, pad_mode)
+    # output dtype follows x (bf16 training path: the TPU MXU still
+    # accumulates products in f32 internally, rounding once at the output);
+    # a dtype-changing preferred_element_type would break the conv vjp
     y = jax.lax.conv_general_dilated(
         x, w, (stride,), "VALID", rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
     )
-    return (y + p["b"]).astype(x.dtype)
+    return y + p["b"].astype(x.dtype)
 
 
 def conv_transpose1d(
@@ -151,9 +153,8 @@ def conv_transpose1d(
     y = jax.lax.conv_general_dilated(
         x, w, (1,), [(k - 1, k - 1)], lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
     )
-    y = (y + p["b"]).astype(x.dtype)
+    y = y + p["b"].astype(x.dtype)
     padding_total = k - stride
     if causal:
         right = math.ceil(padding_total * trim_right_ratio)

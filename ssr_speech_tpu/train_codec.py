@@ -74,6 +74,21 @@ def main(argv=None):
                    choices=["hinge", "mse"],
                    help="adversarial objective family (reference "
                         "adversarial.loss)")
+    p.add_argument("--wm_min_regions", type=int, default=0,
+                   help="minimum watermark spans sampled per item (reference "
+                        "wmencodec.py:206-235 allows zero-span items; >=1 "
+                        "guarantees positive watermark examples every batch "
+                        "— faster detector convergence on small corpora)")
+    p.add_argument("--disc_scales", type=int, default=None,
+                   help="number of MS-STFT discriminator scales (default 5, "
+                        "the shipped n_ffts list; smaller = debug/rehearsal)")
+    p.add_argument("--precision", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="activation dtype of the trained subgraphs "
+                        "(wm-decoder + discriminator passes; params/losses "
+                        "stay f32). Default: bfloat16 on TPU — the step is "
+                        "HBM-bound (tools/codec_trace_probe.py) — float32 "
+                        "elsewhere")
     p.add_argument("--deadlock_timeout", type=float, default=0.0,
                    help=">0: stall watchdog — no loop beacon for this many "
                         "seconds dumps stacks and kills the process")
@@ -130,11 +145,17 @@ def main(argv=None):
               (kv.split("=") for kv in args.loss_weights.split(","))}
     state, opts = codec_trainer.init_codec_train_state(
         jax.random.PRNGKey(args.seed), cfg, lr=args.lr, pretrained=pretrained,
-        balance_weights=bw,
+        balance_weights=bw, disc_scales=args.disc_scales,
     )
+    precision = args.precision
+    if precision is None:
+        precision = ("bfloat16"
+                     if jax.default_backend() in ("tpu", "axon")
+                     else "float32")
+    logger.info("compute precision: %s", precision)
     step_fn = codec_trainer.make_codec_train_step(
         cfg, opts, args.ema_decay, balance_weights=bw,
-        adv_loss_mode=args.adv_loss_mode)
+        adv_loss_mode=args.adv_loss_mode, compute_dtype=precision)
 
     shard_batch = lambda x: x
     if args.data_parallel and jax.device_count() > 1:
@@ -220,7 +241,8 @@ def main(argv=None):
                 for wav in PrefetchIterator(
                         ds.batches(args.batch_size, args.updates), depth=2):
                     labels, keep = wm.sample_watermark_mask(
-                        rng, wav.shape[0], frames, hop)
+                        rng, wav.shape[0], frames, hop,
+                        min_regions=args.wm_min_regions)
                     watchdog.update("dispatch", next_timeout=grace)
                     state, metrics = step_fn(
                         state, shard_batch(jnp.asarray(wav)),

@@ -94,13 +94,17 @@ def make_optimizers(lr: float = 5e-4):
 def init_codec_train_state(key, cfg: CodecConfig, lr: float = 5e-4,
                            pretrained: Optional[Dict[str, Any]] = None,
                            balance_weights: Optional[Dict[str, float]] = None,
+                           disc_scales: Optional[int] = None,
                            ) -> Tuple[CodecTrainState, Tuple]:
+    """``disc_scales`` < 5 trains against the first N scales of the MS-STFT
+    family (reference msstftd.n_ffts config list) — rehearsal/debug sizes."""
     k1, k2 = jax.random.split(key)
     params = pretrained if pretrained is not None else wm.init_wmencodec(k1, cfg)
     wm_params = params["wmdecoder"]
     frozen = dict(encoder=params["encoder"], decoder=params["decoder"],
                   quantizer=params["quantizer"])
-    disc_params = disc_mod.init_msstftd(k2)
+    disc_params = disc_mod.init_msstftd(
+        k2, n_scales=disc_scales or len(disc_mod.N_FFTS))
     g_opt_t, d_opt_t = make_optimizers(lr)
 
     @jax.jit
@@ -126,10 +130,20 @@ def init_codec_train_state(key, cfg: CodecConfig, lr: float = 5e-4,
 
 def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99,
                           balance_weights: Optional[Dict[str, float]] = None,
-                          adv_loss_mode: str = "hinge"):
+                          adv_loss_mode: str = "hinge",
+                          compute_dtype: Optional[str] = None):
+    """``compute_dtype='bfloat16'`` runs the trained subgraphs — watermark
+    decoder fwd+bwd, detector, and all four MS-STFT discriminator passes — in
+    bf16 activations with f32 MXU accumulation (params, losses, the balancer,
+    optimizer states, and the frozen encoder/RVQ stay f32). The step is
+    HBM-bandwidth-bound (tools/codec_trace_probe.py roofline), so halving the
+    activation traffic is the headline lever; the TPU default in
+    ``train_codec``. None/'float32' keeps the reference's full-f32 step."""
     g_opt_t, d_opt_t = optimizers
     sr = cfg.sample_rate
     sn = cfg.seanet
+    cd = None if compute_dtype in (None, "float32") else jnp.dtype(compute_dtype)
+    cast = (lambda t: t.astype(cd)) if cd is not None else (lambda t: t)
     bw, (gen_loss, real_loss, fake_loss) = _resolve_losses(
         balance_weights, adv_loss_mode)
     recon_keys = [k for k in bw if k not in ("adv", "feat")]
@@ -140,18 +154,21 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99,
         """wav [B, T, 1]; labels [B, F] 0/1 watermark spans; keep [B, T]
         1 outside masked regions (wmencodec.py:237-263 forward)."""
         x = wav
-        # frozen encoder + quantizer (no_grad in reference, :243-249)
+        # frozen encoder + quantizer (no_grad in reference, :243-249) —
+        # kept f32 so training sees the same codes inference will produce
         emb = seanet.encode(state.frozen["encoder"], x, sn)
         latents, _ = q.rvq_quantize(state.frozen["quantizer"], emb)
-        latents = jax.lax.stop_gradient(latents)
-        masked_wav = x * keep[..., None]
+        latents = cast(jax.lax.stop_gradient(latents))
+        masked_wav = cast(x * keep[..., None])
+        x_c = cast(x)
 
         def model_fn(wm_p):
             y_pred, mark_logits = seanet.wm_decode(wm_p, latents, labels,
                                                    masked_wav, sn)
-            y_pred = y_pred[:, : x.shape[1]]
-            clean_logits = seanet.detect_watermark_logits(wm_p, x, sn)
-            return y_pred, mark_logits, clean_logits
+            y_pred = y_pred[:, : x.shape[1]].astype(x.dtype)
+            clean_logits = seanet.detect_watermark_logits(wm_p, x_c, sn)
+            return y_pred, mark_logits.astype(x.dtype), \
+                clean_logits.astype(x.dtype)
 
         (y_pred, mark, clean), vjp_fn = jax.vjp(model_fn, state.wm_params)
 
@@ -165,8 +182,9 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99,
 
         # balanced generator losses, each as f(y_pred) (wmcompression.py:120-141)
         def adv_fn(yp):
-            logits_f, fmaps_f = disc_mod.msstftd_forward(state.disc_params, yp)
-            _, fmaps_r = disc_mod.msstftd_forward(state.disc_params, x)
+            logits_f, fmaps_f = disc_mod.msstftd_forward(state.disc_params,
+                                                         cast(yp))
+            _, fmaps_r = disc_mod.msstftd_forward(state.disc_params, x_c)
             adv = sum(gen_loss(lg) for lg in logits_f) / len(logits_f)
             feat = sum(
                 L.feature_matching_loss(ff, fr)
@@ -191,11 +209,11 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99,
 
         # discriminator step (every step, adversarial.every=1;
         # wmcompression.py:113-117)
-        y_det = jax.lax.stop_gradient(y_pred)
+        y_det = cast(jax.lax.stop_gradient(y_pred))
 
         def d_loss_fn(dp):
             logits_f, _ = disc_mod.msstftd_forward(dp, y_det)
-            logits_r, _ = disc_mod.msstftd_forward(dp, x)
+            logits_r, _ = disc_mod.msstftd_forward(dp, x_c)
             loss = sum(
                 fake_loss(lf) + real_loss(lr_)
                 for lf, lr_ in zip(logits_f, logits_r)
@@ -227,7 +245,8 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99,
 def make_compression_train_step(cfg: CodecConfig, optimizers,
                                 straight_through: bool = True,
                                 balance_weights: Optional[Dict[str, float]] = None,
-                                adv_loss_mode: str = "hinge"):
+                                adv_loss_mode: str = "hinge",
+                                compute_dtype: Optional[str] = None):
     """Plain EnCodec trainer step (reference ``solvers/compression.py:27``):
     same adversarial + reconstruction losses, no watermark head, training the
     autoencoder itself.
@@ -241,6 +260,8 @@ def make_compression_train_step(cfg: CodecConfig, optimizers,
     g_opt_t, d_opt_t = optimizers
     sr = cfg.sample_rate
     sn = cfg.seanet
+    cd = None if compute_dtype in (None, "float32") else jnp.dtype(compute_dtype)
+    cast = (lambda t: t.astype(cd)) if cd is not None else (lambda t: t)
     bw, (gen_loss, real_loss, fake_loss) = _resolve_losses(
         balance_weights, adv_loss_mode)
     recon_keys = [k for k in bw if k not in ("adv", "feat")]
@@ -248,26 +269,30 @@ def make_compression_train_step(cfg: CodecConfig, optimizers,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: CodecTrainState, wav: jnp.ndarray):
         x = wav
+        x_c = cast(x)
 
         trainable = dict(encoder=state.frozen["encoder"],
                          decoder=state.frozen["decoder"])
         quantizer = state.frozen["quantizer"]
 
         def model_fn(tp):
-            emb = seanet.encode(tp["encoder"], x, sn)
-            latents, _ = q.rvq_quantize(quantizer, emb)
+            emb = seanet.encode(tp["encoder"], x_c, sn)
+            # RVQ nearest-code search in f32 (bf16 distance ties are noisy)
+            latents, _ = q.rvq_quantize(quantizer, emb.astype(x.dtype))
             if straight_through:
-                latents = emb + jax.lax.stop_gradient(latents - emb)
+                latents = emb + jax.lax.stop_gradient(
+                    latents.astype(emb.dtype) - emb)
             else:
-                latents = jax.lax.stop_gradient(latents)
+                latents = cast(jax.lax.stop_gradient(latents))
             y_pred = seanet.decode(tp["decoder"], latents, sn)
-            return y_pred[:, : x.shape[1]]
+            return y_pred[:, : x.shape[1]].astype(x.dtype)
 
         y_pred, vjp_fn = jax.vjp(model_fn, trainable)
 
         def adv_fn(yp):
-            logits_f, fmaps_f = disc_mod.msstftd_forward(state.disc_params, yp)
-            _, fmaps_r = disc_mod.msstftd_forward(state.disc_params, x)
+            logits_f, fmaps_f = disc_mod.msstftd_forward(state.disc_params,
+                                                         cast(yp))
+            _, fmaps_r = disc_mod.msstftd_forward(state.disc_params, x_c)
             adv = sum(gen_loss(lg) for lg in logits_f) / len(logits_f)
             feat = sum(L.feature_matching_loss(ff, fr)
                        for ff, fr in zip(fmaps_f, fmaps_r)) / len(fmaps_f)
@@ -289,11 +314,11 @@ def make_compression_train_step(cfg: CodecConfig, optimizers,
         g_updates, new_g_opt = g_opt_t.update(g_tr, state.g_opt, trainable)
         new_tr = optax.apply_updates(trainable, g_updates)
 
-        y_det = jax.lax.stop_gradient(y_pred)
+        y_det = cast(jax.lax.stop_gradient(y_pred))
 
         def d_loss_fn(dp):
             logits_f, _ = disc_mod.msstftd_forward(dp, y_det)
-            logits_r, _ = disc_mod.msstftd_forward(dp, x)
+            logits_r, _ = disc_mod.msstftd_forward(dp, x_c)
             loss = sum(fake_loss(lf) + real_loss(lr_)
                        for lf, lr_ in zip(logits_f, logits_r))
             return loss / len(logits_f)

@@ -43,27 +43,39 @@ def _init_conv2d(key, cin, cout, kh, kw) -> Params:
 
 
 def _conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), dilation=(1, 1)) -> jnp.ndarray:
-    """x [B, H, W, C]; 'same'-style padding per reference get_2d_padding."""
+    """x [B, H, W, C]; 'same'-style padding per reference get_2d_padding.
+
+    Follows the activation dtype: the weight-norm math runs in f32, the conv
+    multiplies in ``x.dtype`` (the TPU MXU accumulates bf16 products in f32
+    internally, rounding once at the output) — so a bf16 activation stream halves the HBM
+    traffic of the fmap tensors (the codec-GAN step is bandwidth-bound,
+    BENCHMARKS.md roofline) while keeping f32 reductions."""
     v, g = p["v"], p["g"]
     norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-12)
-    w = g * v / norm
+    w = (g * v / norm).astype(x.dtype)
     kh, kw = w.shape[0], w.shape[1]
     ph = ((kh - 1) * dilation[0]) // 2
     pw = ((kw - 1) * dilation[1]) // 2
     y = jax.lax.conv_general_dilated(
         x, w, stride, [(ph, ph), (pw, pw)], rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return y + p["b"]
+    return y + p["b"].astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("filters", "in_channels",
-                                              "max_filters", "dilations"))
+                                              "max_filters", "dilations",
+                                              "n_scales"))
 def init_msstftd(key, filters: int = 32, in_channels: int = 1,
-                 max_filters: int = 1024, dilations=(1, 2, 4)) -> Params:
+                 max_filters: int = 1024, dilations=(1, 2, 4),
+                 n_scales: int = len(N_FFTS)) -> Params:
+    """``n_scales`` < 5 keeps the first N of the shipped n_fft list — the
+    reference's ``msstftd.n_ffts`` config is a plain list, so a smaller
+    multi-scale family is config-space-equivalent (msstftd.py:104-121);
+    ``msstftd_forward`` zips the sub-discriminators against N_FFTS, so the
+    forward follows the init geometry automatically."""
     subs = []
-    keys = jax.random.split(key, len(N_FFTS))
+    keys = jax.random.split(key, n_scales)
     for sk in keys:
         ks = jax.random.split(sk, len(dilations) + 3)
         convs = [_init_conv2d(ks[0], 2 * in_channels, filters, 3, 9)]
@@ -80,10 +92,11 @@ def init_msstftd(key, filters: int = 32, in_channels: int = 1,
 
 def _sub_forward(sub: Params, x: jnp.ndarray, n_fft: int, hop: int,
                  dilations=(1, 2, 4)) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
-    """x [B, T] -> (logits [B, t, w, 1], fmaps)."""
-    spec = stft_ops.stft(x, n_fft, hop, normalized=True)  # [B, freq, frames]
+    """x [B, T] -> (logits [B, t, w, 1], fmaps). The STFT itself always runs
+    in f32 (phase accuracy); the conv stack follows ``x.dtype``."""
+    spec = stft_ops.stft(x.astype(jnp.float32), n_fft, hop, normalized=True)
     z = jnp.stack([spec.real, spec.imag], axis=-1)  # [B, freq, frames, 2]
-    z = jnp.swapaxes(z, 1, 2)  # [B, frames(t), freq(w), 2]
+    z = jnp.swapaxes(z, 1, 2).astype(x.dtype)  # [B, frames(t), freq(w), 2]
     fmaps = []
     h = z
     h = jax.nn.leaky_relu(_conv2d(sub["convs"][0], h), LEAKY_SLOPE)
@@ -126,17 +139,17 @@ def _init_conv1d(key, cin, cout, k, groups=1) -> Params:
 
 def _conv1d_wn(p: Params, x: jnp.ndarray, stride=1, padding=0,
                groups: int = 1) -> jnp.ndarray:
-    """x [B, T, C] weight-normed grouped conv1d ('same'-style static pad)."""
+    """x [B, T, C] weight-normed grouped conv1d ('same'-style static pad);
+    follows the activation dtype like :func:`_conv2d` (f32 accumulation)."""
     v, g = p["v"], p["g"]
     norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
-    w = g * v / norm
+    w = (g * v / norm).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w, (stride,), [(padding, padding)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
-    return y + p["b"]
+    return y + p["b"].astype(x.dtype)
 
 
 def _msd_layout(filters=16, max_filters=1024, downsample_scales=(4, 4, 4, 4),

@@ -26,11 +26,14 @@ from ..ops import stft as stft_ops
 
 
 def l1_loss(x, y):
-    return jnp.mean(jnp.abs(x - y))
+    # dtype=f32: accumulate in f32 even over bf16 operands (the bf16
+    # codec-GAN compute path feeds bf16 fmaps through feature matching)
+    return jnp.mean(jnp.abs(x - y), dtype=jnp.float32)
 
 
 def l2_loss(x, y):
-    return jnp.mean((x - y) ** 2)
+    d = (x - y).astype(jnp.float32)
+    return jnp.mean(d * d, dtype=jnp.float32)
 
 
 def mel_l1_loss(x, y, sr: int, n_fft: int = 1024, hop: int = 256,
@@ -97,27 +100,27 @@ def mrstft_loss(x, y, n_ffts=(1024, 2048, 512), factor_sc: float = 0.5,
 
 def hinge_gen_loss(logits):
     """Generator hinge: -mean(D(fake)) (losses.py:193-196)."""
-    return -jnp.mean(logits)
+    return -jnp.mean(logits, dtype=jnp.float32)
 
 
 def hinge_real_loss(logits):
-    return -jnp.mean(jnp.minimum(logits - 1.0, 0.0))
+    return -jnp.mean(jnp.minimum(logits - 1.0, 0.0), dtype=jnp.float32)
 
 
 def hinge_fake_loss(logits):
-    return -jnp.mean(jnp.minimum(-logits - 1.0, 0.0))
+    return -jnp.mean(jnp.minimum(-logits - 1.0, 0.0), dtype=jnp.float32)
 
 
 def mse_gen_loss(logits):
-    return jnp.mean((logits - 1.0) ** 2)
+    return l2_loss(logits, jnp.ones_like(logits))
 
 
 def mse_real_loss(logits):
-    return jnp.mean((logits - 1.0) ** 2)
+    return l2_loss(logits, jnp.ones_like(logits))
 
 
 def mse_fake_loss(logits):
-    return jnp.mean(logits ** 2)
+    return l2_loss(logits, jnp.zeros_like(logits))
 
 
 def feature_matching_loss(fmaps_fake: List[jnp.ndarray],

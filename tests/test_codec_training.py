@@ -74,6 +74,17 @@ def test_discriminator_shapes():
     assert len(logits) == len(discriminators.N_FFTS)
     assert all(lg.shape[0] == 2 and lg.shape[-1] == 1 for lg in logits)
     assert all(len(fm) == 5 for fm in fmaps)
+    # reduced scale family (reference msstftd.n_ffts is a config list):
+    # forward follows the init geometry
+    p2 = discriminators.init_msstftd(jax.random.PRNGKey(0), filters=4,
+                                     n_scales=2)
+    logits2, _ = discriminators.msstftd_forward(p2, wav)
+    assert len(logits2) == 2
+    # bf16 activations: conv stack follows the input dtype
+    lg_bf, fm_bf = discriminators.msstftd_forward(
+        params, wav.astype(jnp.bfloat16))
+    assert all(lg.dtype == jnp.bfloat16 for lg in lg_bf)
+    assert all(t.dtype == jnp.bfloat16 for fm in fm_bf for t in fm)
 
 
 def test_balancer_scales_to_unit_norm():
@@ -118,6 +129,40 @@ def test_codec_train_step_updates_only_wmdecoder():
     assert float(new_state.balancer.count) == 1.0
     new_state2, m2 = step(new_state, wav, jnp.asarray(labels), jnp.asarray(keep))
     assert float(new_state2.step) == 2
+
+
+@pytest.mark.slow
+def test_codec_train_step_bf16_matches_f32():
+    """The bf16 compute path (train_codec's TPU default; activations bf16,
+    params/losses/optimizer f32) stays within bf16 rounding of the full-f32
+    step: losses agree to <2% and the Adam update moves every trained leaf by
+    at most the lr (the bandwidth-bound roofline motivation is
+    tools/codec_trace_probe.py; docstring at make_codec_train_step)."""
+    hop = TINY.hop_length
+    F = 8
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.normal(size=(2, F * hop, 1)) * 0.1, jnp.float32)
+    labels, keep = wm.sample_watermark_mask(rng, 2, F, hop, min_regions=1)
+    labels, keep = jnp.asarray(labels), jnp.asarray(keep)
+
+    s32_state, opts = codec_trainer.init_codec_train_state(
+        jax.random.PRNGKey(0), TINY, lr=1e-3)
+    sbf_state, _ = codec_trainer.init_codec_train_state(
+        jax.random.PRNGKey(0), TINY, lr=1e-3)
+    step32 = codec_trainer.make_codec_train_step(TINY, opts)
+    stepbf = codec_trainer.make_codec_train_step(
+        TINY, opts, compute_dtype="bfloat16")
+    n32, m32 = step32(s32_state, wav, labels, keep)
+    nbf, mbf = stepbf(sbf_state, wav, labels, keep)
+    for k in m32:
+        a, b = float(m32[k]), float(mbf[k])
+        assert np.isfinite(b), (k, b)
+        assert abs(a - b) <= 0.02 * abs(a) + 1e-4, (k, a, b)
+    # every trained tensor stays f32 and moves by <= ~2*lr (Adam's bound)
+    for p, q in zip(jax.tree.leaves(n32.wm_params),
+                    jax.tree.leaves(nbf.wm_params)):
+        assert q.dtype == jnp.float32
+        assert float(jnp.max(jnp.abs(p - q))) <= 2.1e-3
 
 
 def test_watermark_mask_sampler():
