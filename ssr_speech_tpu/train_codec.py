@@ -74,6 +74,11 @@ def main(argv=None):
                    choices=["hinge", "mse"],
                    help="adversarial objective family (reference "
                         "adversarial.loss)")
+    p.add_argument("--wm_ce_weight", type=float, default=1.0,
+                   help="scale on the watermark CE losses (reference "
+                        "wmcompression.py:102-106 uses 1.0; larger values "
+                        "prioritize detector convergence, e.g. short "
+                        "rehearsal runs)")
     p.add_argument("--wm_min_regions", type=int, default=0,
                    help="minimum watermark spans sampled per item (reference "
                         "wmencodec.py:206-235 allows zero-span items; >=1 "
@@ -155,7 +160,8 @@ def main(argv=None):
     logger.info("compute precision: %s", precision)
     step_fn = codec_trainer.make_codec_train_step(
         cfg, opts, args.ema_decay, balance_weights=bw,
-        adv_loss_mode=args.adv_loss_mode, compute_dtype=precision)
+        adv_loss_mode=args.adv_loss_mode, compute_dtype=precision,
+        wm_ce_weight=args.wm_ce_weight)
 
     shard_batch = lambda x: x
     if args.data_parallel and jax.device_count() > 1:

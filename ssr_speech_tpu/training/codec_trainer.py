@@ -131,7 +131,8 @@ def init_codec_train_state(key, cfg: CodecConfig, lr: float = 5e-4,
 def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99,
                           balance_weights: Optional[Dict[str, float]] = None,
                           adv_loss_mode: str = "hinge",
-                          compute_dtype: Optional[str] = None):
+                          compute_dtype: Optional[str] = None,
+                          wm_ce_weight: float = 1.0):
     """``compute_dtype='bfloat16'`` runs the trained subgraphs — watermark
     decoder fwd+bwd, detector, and all four MS-STFT discriminator passes — in
     bf16 activations with f32 MXU accumulation (params, losses, the balancer,
@@ -172,10 +173,14 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99,
 
         (y_pred, mark, clean), vjp_fn = jax.vjp(model_fn, state.wm_params)
 
-        # watermark classifier losses (wmcompression.py:102-106)
+        # watermark classifier losses (wmcompression.py:102-106; the
+        # reference weighs this family 1.0 against the balancer's unit-norm
+        # GAN/recon cotangent — ``wm_ce_weight`` scales it, e.g. rehearsal
+        # runs where the detector must converge in a few hundred steps)
         def cls_fn(m, c):
-            return L.cross_entropy(m, labels) + 0.25 * L.cross_entropy(
+            ce = L.cross_entropy(m, labels) + 0.25 * L.cross_entropy(
                 c, jnp.zeros(c.shape[:-1], jnp.int32))
+            return wm_ce_weight * ce
 
         cls_loss, (g_mark, g_clean) = jax.value_and_grad(
             cls_fn, argnums=(0, 1))(mark, clean)
@@ -230,8 +235,8 @@ def make_codec_train_step(cfg: CodecConfig, optimizers, ema_decay: float = 0.99,
             state.ema_params, new_wm,
         )
 
-        metrics = dict(cls_loss=cls_loss, d_loss=d_loss, g_loss=g_loss,
-                       **losses)
+        metrics = dict(cls_loss=cls_loss / wm_ce_weight, d_loss=d_loss,
+                       g_loss=g_loss, **losses)
         new_state = CodecTrainState(
             wm_params=new_wm, frozen=state.frozen, disc_params=new_disc,
             g_opt=new_g_opt, d_opt=new_d_opt, balancer=new_bal,
